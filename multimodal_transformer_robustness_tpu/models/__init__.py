@@ -1,0 +1,13 @@
+from .headers import init_header, header_apply
+from .mult import init_supernet, supernet_apply, SupernetParams
+from .subnet import extract_subnet, subnet_apply
+
+__all__ = [
+    "init_header",
+    "header_apply",
+    "init_supernet",
+    "supernet_apply",
+    "SupernetParams",
+    "extract_subnet",
+    "subnet_apply",
+]

@@ -1,0 +1,169 @@
+"""Minimal JAX BERT encoder for the frozen text header.
+
+The reference loads a pretrained ``BertModel`` from a hardcoded local path
+(src/dynamic_models2.py:42-55) and runs it under ``torch.no_grad``.  Here the
+encoder is a plain functional JAX implementation; weights can be imported
+from a HuggingFace torch checkpoint directory via
+:func:`load_hf_bert_params`, or randomly initialized (e.g. a tiny config for
+tests, or when no checkpoint is available in an air-gapped environment).
+
+The forward matches HF ``BertModel``'s last_hidden_state: embeddings
+(word + position + token_type, LayerNorm, dropout omitted — eval/frozen) ->
+N post-norm transformer layers with GELU FFN -> hidden states.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position: int = 512
+    type_vocab_size: int = 2
+    eps: float = 1e-12
+
+
+def tiny_bert_config(hidden: int = 16, layers: int = 2, heads: int = 2,
+                     vocab: int = 64) -> BertConfig:
+    return BertConfig(vocab_size=vocab, hidden_size=hidden, num_layers=layers,
+                      num_heads=heads, intermediate_size=hidden * 4,
+                      max_position=64, type_vocab_size=2)
+
+
+def init_bert(rng: jax.Array, cfg: BertConfig) -> dict:
+    """Random init (normal(0.02), HF default) — a stand-in when no pretrained
+    checkpoint directory is supplied."""
+    def norm(key, shape):
+        return 0.02 * jax.random.normal(key, shape, jnp.float32)
+
+    keys = iter(jax.random.split(rng, 6 + 16 * cfg.num_layers))
+    h, ffn = cfg.hidden_size, cfg.intermediate_size
+    params = {
+        "word_emb": norm(next(keys), (cfg.vocab_size, h)),
+        "pos_emb": norm(next(keys), (cfg.max_position, h)),
+        "type_emb": norm(next(keys), (cfg.type_vocab_size, h)),
+        "emb_ln_g": jnp.ones((h,)), "emb_ln_b": jnp.zeros((h,)),
+        "layers": [],
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append({
+            "q_w": norm(next(keys), (h, h)), "q_b": jnp.zeros((h,)),
+            "k_w": norm(next(keys), (h, h)), "k_b": jnp.zeros((h,)),
+            "v_w": norm(next(keys), (h, h)), "v_b": jnp.zeros((h,)),
+            "o_w": norm(next(keys), (h, h)), "o_b": jnp.zeros((h,)),
+            "ln1_g": jnp.ones((h,)), "ln1_b": jnp.zeros((h,)),
+            "fc1_w": norm(next(keys), (ffn, h)), "fc1_b": jnp.zeros((ffn,)),
+            "fc2_w": norm(next(keys), (h, ffn)), "fc2_b": jnp.zeros((h,)),
+            "ln2_g": jnp.ones((h,)), "ln2_b": jnp.zeros((h,)),
+        })
+    # stack layers for scan
+    params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
+    return params
+
+
+def _ln(x, g, b, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
+               token_type_ids: jnp.ndarray, cfg: BertConfig) -> jnp.ndarray:
+    """[B, L] ids/mask/types -> [B, L, H] last hidden states (eval mode).
+    ``cfg`` is static (head count / eps live outside the param pytree so the
+    frozen weights can be jit arguments)."""
+    b, L = input_ids.shape
+    h = params["word_emb"].shape[1]
+    n_heads = cfg.num_heads
+    eps = cfg.eps
+    x = (params["word_emb"][input_ids]
+         + params["pos_emb"][jnp.arange(L)][None]
+         + params["type_emb"][token_type_ids])
+    x = _ln(x, params["emb_ln_g"], params["emb_ln_b"], eps)
+
+    # HF extended attention mask: (1 - mask) * -10000 additive bias
+    bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -10000.0
+
+    dh = h // n_heads
+
+    def layer(x, lp):
+        def proj(w, bb):
+            y = x @ w.T + bb
+            return y.reshape(b, L, n_heads, dh).transpose(0, 2, 1, 3)
+
+        q = proj(lp["q_w"], lp["q_b"])
+        k = proj(lp["k_w"], lp["k_b"])
+        v = proj(lp["v_w"], lp["v_b"])
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh) + bias
+        w = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, L, h)
+        x = _ln(x + (attn @ lp["o_w"].T + lp["o_b"]), lp["ln1_g"], lp["ln1_b"], eps)
+        ff = jax.nn.gelu(x @ lp["fc1_w"].T + lp["fc1_b"], approximate=False)
+        x = _ln(x + (ff @ lp["fc2_w"].T + lp["fc2_b"]), lp["ln2_g"], lp["ln2_b"], eps)
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+    return x
+
+
+def load_hf_bert_params(model_dir: str):
+    """Import weights from a HuggingFace BERT torch checkpoint directory.
+    Returns (params, BertConfig) or None if unavailable (caller falls back to
+    random init)."""
+    try:
+        import transformers
+
+        model = transformers.BertModel.from_pretrained(model_dir)
+    except Exception:
+        return None
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    cfg = model.config
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"encoder.layer.{i}."
+        layers.append({
+            "q_w": sd[p + "attention.self.query.weight"],
+            "q_b": sd[p + "attention.self.query.bias"],
+            "k_w": sd[p + "attention.self.key.weight"],
+            "k_b": sd[p + "attention.self.key.bias"],
+            "v_w": sd[p + "attention.self.value.weight"],
+            "v_b": sd[p + "attention.self.value.bias"],
+            "o_w": sd[p + "attention.output.dense.weight"],
+            "o_b": sd[p + "attention.output.dense.bias"],
+            "ln1_g": sd[p + "attention.output.LayerNorm.weight"],
+            "ln1_b": sd[p + "attention.output.LayerNorm.bias"],
+            "fc1_w": sd[p + "intermediate.dense.weight"],
+            "fc1_b": sd[p + "intermediate.dense.bias"],
+            "fc2_w": sd[p + "output.dense.weight"],
+            "fc2_b": sd[p + "output.dense.bias"],
+            "ln2_g": sd[p + "output.LayerNorm.weight"],
+            "ln2_b": sd[p + "output.LayerNorm.bias"],
+        })
+    params = {
+        "word_emb": sd["embeddings.word_embeddings.weight"],
+        "pos_emb": sd["embeddings.position_embeddings.weight"],
+        "type_emb": sd["embeddings.token_type_embeddings.weight"],
+        "emb_ln_g": sd["embeddings.LayerNorm.weight"],
+        "emb_ln_b": sd["embeddings.LayerNorm.bias"],
+        "layers": jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *layers),
+    }
+    out_cfg = BertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_layers=cfg.num_hidden_layers, num_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position=cfg.max_position_embeddings,
+        type_vocab_size=cfg.type_vocab_size, eps=cfg.layer_norm_eps)
+    return jax.tree.map(jnp.asarray, params), out_cfg

@@ -1,0 +1,113 @@
+"""Per-modality projection headers.
+
+Reference (src/dynamic_models2.py:14-70,138-149):
+  * ``RNN_Header``: two 1-layer bidirectional GRUs with a non-affine LN
+    between; returns the second GRU's final hidden state — i.e. the whole
+    sequence collapses to ONE token of width d.  (The header also constructs
+    a Dropout(0.2) and a second LN that its forward never uses; we do not.)
+  * ``CNN_Header``: one 3x3 same-padding conv (1->1 channel, no bias) +
+    4x4 patchify to [B, 16, (H/4)*(W/4)], then an RNN_Header over patches.
+  * ``BertTextEncoder``: frozen BERT-base last hidden states, then an
+    RNN_Header.  NOTE the replicated reference quirk: the collate stacks
+    [input_ids, token_type_ids, attention_mask] (src/dataset.py:51-55) but
+    the forward unpacks [ids, attention_mask, token_type_ids]
+    (src/dynamic_models2.py:49) — type ids are used as the attention mask.
+
+Header choice per modality char (src/dynamic_models2.py:141-146):
+'i'/'A' -> CNN+RNN, 't' -> BERT+RNN, else RNN.
+
+All headers emit [B, 1, d] (batch-major; the reference permutes to
+seq-major [1, B, d]).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelSpec
+from ..ops.gru import bigru_forward, init_bigru
+from ..ops.layernorm import masked_layer_norm
+from . import bert as bert_mod
+
+
+def _init_rnn_header(rng: jax.Array, input_dim: int, d: int) -> dict:
+    k1, k2 = jax.random.split(rng)
+    assert d % 2 == 0, "RNN header width must be even (bidirectional halves)"
+    return {
+        "gru1": init_bigru(k1, input_dim, d // 2),
+        "gru2": init_bigru(k2, d, d // 2),
+    }
+
+
+def _rnn_header_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, T, input_dim] -> [B, 1, d]."""
+    out1, _ = bigru_forward(params["gru1"], x)
+    # non-affine LayerNorm over d (reference nn.LayerNorm(hidden_dim,
+    # elementwise_affine=False))
+    d = out1.shape[-1]
+    out1 = masked_layer_norm(out1, jnp.ones((d,), out1.dtype), jnp.zeros((d,), out1.dtype))
+    _, h2 = bigru_forward(params["gru2"], out1)
+    return h2[:, None, :]
+
+
+def _init_cnn(rng: jax.Array) -> dict:
+    # torch Conv2d(1,1,3,bias=False) default: kaiming_uniform(a=sqrt(5)) ->
+    # U(-sqrt(1/fan_in), ...) with fan_in = 9
+    bound = math.sqrt(1.0 / 9.0)
+    return {"w": jax.random.uniform(rng, (1, 1, 3, 3), jnp.float32, -bound, bound)}
+
+
+def _cnn_apply(params: dict, x: jnp.ndarray, n_patches: int = 4) -> jnp.ndarray:
+    """x: [B, 1, H, W] -> [B, n_patches^2, (H/P)*(W/P)]
+    (reference CNN_Header.forward, src/dynamic_models2.py:65-70)."""
+    y = jax.lax.conv_general_dilated(
+        x, params["w"], window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    b, c, h, w = y.shape
+    p = n_patches
+    y = y.reshape(b, c, p, h // p, p, w // p)
+    y = y.transpose(0, 2, 4, 1, 3, 5)
+    return y.reshape(b, p * p, -1)
+
+
+def init_header(rng: jax.Array, spec: ModelSpec, i: int,
+                bert_cfg: Optional[bert_mod.BertConfig] = None) -> dict:
+    ch = spec.modality_set[i]
+    kind = spec.header_kind(ch)
+    d = spec.dimension
+    orig = spec.orig_dimensions[i]
+    if kind == "cnn_rnn":
+        k1, k2 = jax.random.split(rng)
+        return {"cnn": _init_cnn(k1),
+                "rnn": _init_rnn_header(k2, (orig // 4) * (orig // 4), d)}
+    if kind == "bert_rnn":
+        cfg = bert_cfg or bert_mod.BertConfig()
+        return {"rnn": _init_rnn_header(rng, cfg.hidden_size, d)}
+    return {"rnn": _init_rnn_header(rng, orig, d)}
+
+
+def header_apply(kind: str, params: dict, x: jnp.ndarray,
+                 frozen: Optional[dict] = None,
+                 bert_cfg: Optional[bert_mod.BertConfig] = None) -> jnp.ndarray:
+    """Dispatch on header kind (static string, not part of the param pytree);
+    returns [B, 1, d]."""
+    if kind == "cnn_rnn":
+        feats = _cnn_apply(params["cnn"], x)
+        return _rnn_header_apply(params["rnn"], feats)
+    if kind == "bert_rnn":
+        assert frozen is not None and "bert" in frozen, "text modality needs frozen BERT params"
+        ids = x[0].astype(jnp.int32)
+        # replicated reference quirk (see module docstring): slot 1 of the
+        # stacked text tensor is used as the attention mask
+        attn_mask = x[1].astype(jnp.float32)
+        type_ids = x[2].astype(jnp.int32)
+        hidden = bert_mod.bert_apply(frozen["bert"], ids, attn_mask, type_ids,
+                                     bert_cfg or bert_mod.BertConfig())
+        hidden = jax.lax.stop_gradient(hidden)  # frozen (torch.no_grad at
+        #                                         dynamic_models2.py:50)
+        return _rnn_header_apply(params["rnn"], hidden)
+    return _rnn_header_apply(params["rnn"], x)

@@ -1,0 +1,245 @@
+"""The elastic multimodal-transformer supernet ("dynamic MulT"), TPU-native.
+
+Dataflow (mirrors reference src/dynamic_models2.py:222-291, see SURVEY.md
+§3.2):
+
+    inputs (one per modality)
+      -> projection headers (each collapses its sequence to [B, 1, d])
+      -> per-modality self-attention stacks  (``mems0``)
+      -> crossmodal stacks, one per combination string (``cross``)
+      -> per-branch fused concat + channel-masked top stacks (``mems``)
+      -> masked head MLP (proj1 -> ReLU -> dropout -> proj2 + residual
+         -> out_layer)
+
+TPU re-design vs the reference:
+  * one static execution plan: ALL cross stacks run every step; topology
+    masks gate which streams reach the fused outputs.  No Python branching
+    on configuration inside the trace -> one compiled program for every
+    (modality subset × fusion topology × depth × width) configuration.
+  * same-shaped stacks are stacked on a leading axis and vmapped: the M
+    ``mems0`` stacks in one batch, each cross *level* (pairs, triples, ...)
+    in one batch, the M top stacks in one batch.  The reference runs 18
+    sequential module calls (MOSEI config); here it is 2 + #levels vmapped
+    calls.
+  * parameters are full-size; elasticity is masks (see ops/, masks.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelSpec
+from ..masks import SupernetMasks
+from ..ops.dropout import dropout
+from ..ops.encoder import EncoderHParams, EncoderMasks, encoder_forward, init_encoder
+from ..ops.linear import init_linear, masked_linear
+from . import bert as bert_mod
+from .headers import header_apply, init_header
+
+
+class SupernetParams(NamedTuple):
+    proj: Tuple[dict, ...]      # per-modality header params
+    mems0: dict                 # encoder params stacked on [M, ...]
+    cross: Optional[dict]       # encoder params stacked on [n_cross, ...]
+    mems: dict                  # encoder params stacked on [M, ...]
+    translation: dict           # [n_cross, d, d] linears — dead weights kept
+    #                             for checkpoint parity (reference constructs
+    #                             but never calls them: dynamic_models2.py:
+    #                             161-162, forward block commented at 259-268)
+    proj1: dict
+    proj2: dict
+    out_layer: dict
+
+
+def _stack_trees(trees: Sequence[dict]) -> dict:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _hp_stream(spec: ModelSpec, layers: int) -> EncoderHParams:
+    return EncoderHParams(
+        embed_dim_in=spec.dimension, num_heads=spec.num_heads,
+        head_dim=spec.head_dim, layers=layers,
+        relu_dropout=spec.relu_dropout, res_dropout=spec.res_dropout,
+        embed_dropout=spec.embed_dropout, attn_mask=spec.attn_mask)
+
+
+def _hp_top(spec: ModelSpec) -> EncoderHParams:
+    return EncoderHParams(
+        embed_dim_in=spec.top_dim, num_heads=spec.num_heads,
+        head_dim=spec.head_dim, layers=spec.layers_self_attn,
+        relu_dropout=spec.relu_dropout, res_dropout=spec.res_dropout,
+        embed_dropout=spec.embed_dropout, attn_mask=spec.attn_mask)
+
+
+def init_supernet(
+    rng: jax.Array,
+    spec: ModelSpec,
+    bert_cfg: Optional[bert_mod.BertConfig] = None,
+    bert_dir: Optional[str] = None,
+) -> Tuple[SupernetParams, dict]:
+    """Returns (trainable params, frozen params).
+
+    ``frozen`` holds the BERT encoder weights when a text modality exists
+    (the reference freezes BERT with torch.no_grad — dynamic_models2.py:50);
+    they are jit arguments but excluded from the optimizer.
+    """
+    M = spec.modality_num
+    n_cross = len(spec.cross_strings)
+    n_keys = 1 + M + M + max(n_cross, 1) + M + max(n_cross, 1) + 1
+    keys = iter(jax.random.split(rng, n_keys))
+
+    frozen = {}
+    bert_key = next(keys)
+    if any(spec.header_kind(c) == "bert_rnn" for c in spec.modality_set):
+        loaded = bert_mod.load_hf_bert_params(bert_dir) if bert_dir else None
+        if loaded is not None:
+            frozen["bert"], bert_cfg = loaded
+        else:
+            bert_cfg = bert_cfg or bert_mod.BertConfig()
+            frozen["bert"] = bert_mod.init_bert(bert_key, bert_cfg)
+    proj = tuple(init_header(next(keys), spec, i, bert_cfg) for i in range(M))
+    mems0 = _stack_trees(
+        [init_encoder(next(keys), _hp_stream(spec, spec.layers_single_attn))
+         for _ in range(M)])
+    cross = None
+    if n_cross:
+        cross = _stack_trees(
+            [init_encoder(next(keys), _hp_stream(spec, spec.layers_cross_attn))
+             for _ in range(n_cross)])
+    else:
+        for _ in range(max(n_cross, 1)):
+            next(keys)
+    mems = _stack_trees(
+        [init_encoder(next(keys), _hp_top(spec)) for _ in range(M)])
+
+    d = spec.dimension
+    translation = _stack_trees(
+        [init_linear(next(keys), d, d, init="torch")
+         for _ in range(max(n_cross, 1))])
+    k1, k2, k3 = jax.random.split(next(keys), 3)
+    cdim = spec.combined_dim
+    return (
+        SupernetParams(
+            proj=proj, mems0=mems0, cross=cross, mems=mems,
+            translation=translation,
+            proj1=init_linear(k1, cdim, cdim, init="torch"),
+            proj2=init_linear(k2, cdim, cdim, init="torch"),
+            out_layer=init_linear(k3, cdim, spec.output_dim, init="torch"),
+        ),
+        frozen,
+    )
+
+
+def supernet_apply(
+    spec: ModelSpec,
+    params: SupernetParams,
+    masks: SupernetMasks,
+    inputs: Sequence[jnp.ndarray],
+    *,
+    frozen: Optional[dict] = None,
+    bert_cfg: Optional[bert_mod.BertConfig] = None,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Forward pass.  ``inputs``: one array per modality (text: [3, B, L]
+    int stack; images: [B, 1, H, W]; sequences: [B, T, feat]).
+
+    Returns [B, output_dim], or [B, T, output_dim] when ``spec.all_steps``
+    (reference returns ``(out, translation_pair=[])``; the empty translation
+    list is dropped — the reference's translation loss is dead code).
+    """
+    M = spec.modality_num
+    d = spec.dimension
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    n_cross = len(spec.cross_strings)
+    k_head, k_m0, k_cr, k_top, k_out = jax.random.split(rng, 5)
+
+    # ---- projection headers (all modalities, even inactive ones — reference
+    # dynamic_models2.py:224-229 runs proj + mems0 unconditionally) ----------
+    proj_x = []
+    for i in range(M):
+        kind = spec.header_kind(spec.modality_set[i])
+        proj_x.append(header_apply(kind, params.proj[i], inputs[i], frozen, bert_cfg))
+    base = jnp.stack(proj_x)  # [M, B, T, d] (T == 1 with RNN headers)
+
+    # ---- per-modality self-attention stacks, one vmapped batch -------------
+    hp0 = _hp_stream(spec, spec.layers_single_attn)
+    mems0_rates = jnp.asarray(spec.attn_dropout[:M], jnp.float32)
+
+    def m0_fwd(p, x, gates, rate, key):
+        m = EncoderMasks(gates, masks.head_mask, masks.head_dim_mask,
+                         masks.ffn_mask, None)
+        return encoder_forward(p, x, hp=hp0, masks=m, attn_rate=rate,
+                               train=train, rng=key)
+
+    h_base = jax.vmap(m0_fwd)(
+        params.mems0, base, masks.mems0_gates, mems0_rates,
+        jax.random.split(k_m0, M))
+
+    # ---- cross stacks, one vmapped batch per level -------------------------
+    order = spec.stream_order()
+    pos = {s: i for i, s in enumerate(order)}
+    streams: List[jnp.ndarray] = [h_base[i] for i in range(M)]
+
+    if n_cross:
+        hp_c = _hp_stream(spec, spec.layers_cross_attn)
+        cross_rates = jnp.asarray(
+            [spec.attn_dropout_for_cross(i) for i in range(n_cross)], jnp.float32)
+        cross_keys = jax.random.split(k_cr, n_cross)
+
+        def cr_fwd(p, q, kv, rate, key):
+            m = EncoderMasks(masks.cross_gates, masks.head_mask,
+                             masks.head_dim_mask, masks.ffn_mask, None)
+            return encoder_forward(p, q, kv, hp=hp_c, masks=m, attn_rate=rate,
+                                   train=train, rng=key)
+
+        for lo, hi in spec.cross_level_ranges():
+            # query = last char's stream (always a base stream); key/value =
+            # the prefix chain's stream (reference dynamic_models2.py:240)
+            q = jnp.stack([streams[pos[spec.cross_strings[j][-1]]]
+                           for j in range(lo, hi)])
+            kv = jnp.stack([streams[pos[spec.cross_strings[j][:-1]]]
+                            for j in range(lo, hi)])
+            p_level = jax.tree.map(lambda a: a[lo:hi], params.cross)
+            out = jax.vmap(cr_fwd)(p_level, q, kv, cross_rates[lo:hi],
+                                   cross_keys[lo:hi])
+            streams.extend(out[j] for j in range(hi - lo))
+
+    # ---- fused per-branch features + top stacks ----------------------------
+    all_streams = jnp.stack(streams)  # [n_streams, B, T, d]
+    slot_idx = jnp.asarray([[pos[s] for s in spec.slot_lists[i]] for i in range(M)])
+    gated_slots = masks.slot_mask * masks.branch_gate[:, None]      # [M, S]
+    x_top = all_streams[slot_idx]                                   # [M, S, B, T, d]
+    x_top = x_top * gated_slots[:, :, None, None, None]
+    m_, s_, b_, t_, _ = x_top.shape
+    x_top = x_top.transpose(0, 2, 3, 1, 4).reshape(m_, b_, t_, s_ * d)
+
+    hp_t = _hp_top(spec)
+    ch_masks = masks.channel_mask(d)  # [M, E_top]
+
+    def top_fwd(p, x, cm, key):
+        m = EncoderMasks(masks.mems_gates, masks.head_mask,
+                         masks.head_dim_mask, masks.ffn_mask, cm)
+        return encoder_forward(p, x, hp=hp_t, masks=m,
+                               attn_rate=spec.attn_dropout[-1],
+                               train=train, rng=key)
+
+    h_top = jax.vmap(top_fwd)(params.mems, x_top, ch_masks,
+                              jax.random.split(k_top, M))  # [M, B, T, E_top]
+
+    # ---- global fused feature + head MLP -----------------------------------
+    if spec.all_steps:
+        out = h_top.transpose(1, 2, 0, 3).reshape(b_, t_, -1)  # [B, T, comb]
+    else:
+        out = h_top[:, :, -1, :].transpose(1, 0, 2).reshape(b_, -1)  # [B, comb]
+
+    ch = masks.output_channel_mask(d)
+    h1 = jax.nn.relu(masked_linear(out, params.proj1["w"], params.proj1["b"]))
+    h1 = dropout(k_out, h1, spec.out_dropout, train)
+    h2 = masked_linear(h1, params.proj2["w"], params.proj2["b"], mask_out=ch)
+    h2 = h2 + out
+    return masked_linear(h2, params.out_layer["w"], params.out_layer["b"])

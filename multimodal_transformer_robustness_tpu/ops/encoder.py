@@ -1,0 +1,200 @@
+"""Elastic transformer encoder: pre-norm layers under a `lax.scan` with
+per-layer depth gates.
+
+Reference structure (modules/dynamic_transformer.py):
+  * stack forward (lines 56-88): embed-scale ``sqrt(E)`` + sinusoidal PE
+    (fed the activation's feature-0 channel as token proxy) + embed dropout;
+    in cross mode the key/value stream is embedded once, with *independent*
+    dropout draws for k and v (lines 70-78); then ``active_layer_num`` layers;
+    final (masked) LayerNorm.
+  * layer forward (lines 159-188): LN -> attention (+ optional future mask)
+    -> res-dropout -> residual; LN -> fc1(E_in -> 4*H*Dh) -> ReLU ->
+    relu-dropout -> fc2 -> res-dropout -> residual.  ``active_hidden_out_fc1``
+    prefix-masks the FFN hidden width; channel masks thread through LN,
+    attention and fc1-in/fc2-out.
+
+Depth elasticity: the reference truncates the Python loop (line 81-86); here
+all L layers' parameters are stacked on a leading axis and scanned, each
+layer gated by ``layer_gates[l]`` — an inactive layer is an identity
+(`jnp.where` on the carry).  This keeps one compiled program for every depth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_dataclass
+
+from .attention import future_mask, init_mha, multihead_attention
+from .dropout import dropout
+from .layernorm import masked_layer_norm
+from .linear import init_linear, masked_linear
+from .positional import make_positions, sinusoidal_pe
+
+
+@register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EncoderMasks:
+    """Per-stack elastic state (all arrays -> vmap/stack friendly)."""
+
+    layer_gates: jnp.ndarray                 # [L]
+    head_mask: jnp.ndarray                   # [H]
+    head_dim_mask: jnp.ndarray               # [Dh]
+    ffn_mask: jnp.ndarray                    # [4*H*Dh]
+    channel_mask: Optional[jnp.ndarray] = None  # [E_in] or None (self-attn only)
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderHParams:
+    """Static (trace-time) stack hyperparameters.  Attention dropout is NOT
+    here: it may differ per stack instance under one vmap, so it is a traced
+    argument of :func:`encoder_forward`."""
+
+    embed_dim_in: int
+    num_heads: int
+    head_dim: int
+    layers: int
+    relu_dropout: float = 0.0
+    res_dropout: float = 0.0
+    embed_dropout: float = 0.0
+    attn_mask: bool = False
+
+
+def _init_layer(rng: jax.Array, e_in: int, h: int, dh: int) -> dict:
+    ffn = 4 * h * dh
+    ks = jax.random.split(rng, 3)
+    return {
+        "attn": init_mha(ks[0], e_in, h, dh),
+        "fc1": init_linear(ks[1], e_in, ffn, init="xavier_zero"),
+        "fc2": init_linear(ks[2], ffn, e_in, init="xavier_zero"),
+        "ln0": {"g": jnp.ones((e_in,), jnp.float32), "b": jnp.zeros((e_in,), jnp.float32)},
+        "ln1": {"g": jnp.ones((e_in,), jnp.float32), "b": jnp.zeros((e_in,), jnp.float32)},
+    }
+
+
+def init_encoder(rng: jax.Array, hp: EncoderHParams) -> dict:
+    """Parameters: per-layer pytrees stacked on axis 0 (scan layout) + final LN."""
+    keys = jax.random.split(rng, max(hp.layers, 1))
+    layers = [_init_layer(keys[l], hp.embed_dim_in, hp.num_heads, hp.head_dim) for l in range(hp.layers)]
+    if hp.layers:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    else:
+        proto = _init_layer(keys[0], hp.embed_dim_in, hp.num_heads, hp.head_dim)
+        stacked = jax.tree.map(lambda x: jnp.zeros((0,) + x.shape, x.dtype), proto)
+    return {
+        "layers": stacked,
+        "ln": {"g": jnp.ones((hp.embed_dim_in,), jnp.float32),
+               "b": jnp.zeros((hp.embed_dim_in,), jnp.float32)},
+    }
+
+
+def _layer_forward(
+    lp: dict,
+    x: jnp.ndarray,
+    x_k: Optional[jnp.ndarray],
+    x_v: Optional[jnp.ndarray],
+    hp: EncoderHParams,
+    m: EncoderMasks,
+    attn_bias: Optional[jnp.ndarray],
+    attn_rate,
+    train: bool,
+    rng: Optional[jax.Array],
+) -> jnp.ndarray:
+    rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
+    cm = m.channel_mask
+
+    residual = x
+    h = masked_layer_norm(x, lp["ln0"]["g"], lp["ln0"]["b"], cm)
+    if x_k is None:
+        attn = multihead_attention(
+            lp["attn"], h, h, h,
+            head_mask=m.head_mask, head_dim_mask=m.head_dim_mask,
+            attn_bias=attn_bias, channel_mask=cm,
+            attn_dropout=attn_rate, train=train, rng=rngs[0])
+    else:
+        # cross mode: channel masks are self-attn-only
+        # (assert at dynamic_multihead_attention.py:79)
+        k = masked_layer_norm(x_k, lp["ln0"]["g"], lp["ln0"]["b"], None)
+        v = masked_layer_norm(x_v, lp["ln0"]["g"], lp["ln0"]["b"], None)
+        attn = multihead_attention(
+            lp["attn"], h, k, v,
+            head_mask=m.head_mask, head_dim_mask=m.head_dim_mask,
+            attn_bias=attn_bias, channel_mask=None,
+            attn_dropout=attn_rate, train=train, rng=rngs[0])
+    x = residual + dropout(rngs[1], attn, hp.res_dropout, train)
+
+    residual = x
+    h = masked_layer_norm(x, lp["ln1"]["g"], lp["ln1"]["b"], cm)
+    h = masked_linear(h, lp["fc1"]["w"], lp["fc1"]["b"], mask_out=m.ffn_mask)
+    h = jax.nn.relu(h)
+    h = dropout(rngs[2], h, hp.relu_dropout, train)
+    h = masked_linear(h, lp["fc2"]["w"], lp["fc2"]["b"], mask_out=cm)
+    x = residual + dropout(rngs[3], h, hp.res_dropout, train)
+    return x
+
+
+def encoder_forward(
+    params: dict,
+    x_in: jnp.ndarray,                      # [B, T, E_in]
+    x_kv: Optional[jnp.ndarray] = None,     # [B, Tk, E_in] for cross mode
+    *,
+    hp: EncoderHParams,
+    masks: EncoderMasks,
+    attn_rate=0.0,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Full stack forward.  Returns [B, T, E_in] (zeros kept at masked
+    channels)."""
+    cm = masks.channel_mask
+    scale = math.sqrt(hp.embed_dim_in)  # full width even under masks
+    #                                     (dynamic_transformer.py:27 — embed_scale
+    #                                     is set at construction time)
+    rngs = jax.random.split(rng, 4 + max(hp.layers, 1)) if rng is not None else None
+
+    pos = make_positions(x_in[:, :, 0])
+    # under a channel mask, feature 0 of the *compacted* tensor is the lowest
+    # active channel; select it for padding detection
+    if cm is not None:
+        first_active = jnp.argmax(cm > 0)
+        pos = make_positions(jnp.take(x_in, first_active, axis=-1))
+    pe = sinusoidal_pe(pos, hp.embed_dim_in, cm)
+    x = scale * x_in + pe
+    x = dropout(rngs[0] if rngs is not None else None, x, hp.embed_dropout, train)
+
+    x_k = x_v = None
+    if x_kv is not None:
+        pos_kv = make_positions(x_kv[:, :, 0])
+        pe_kv = sinusoidal_pe(pos_kv, hp.embed_dim_in, None)
+        xk_embed = scale * x_kv + pe_kv
+        # independent dropout draws for k and v (dynamic_transformer.py:77-78)
+        x_k = dropout(rngs[1] if rngs is not None else None, xk_embed, hp.embed_dropout, train)
+        x_v = dropout(rngs[2] if rngs is not None else None, xk_embed, hp.embed_dropout, train)
+
+    attn_bias = None
+    if hp.attn_mask:
+        tq = x.shape[1]
+        tk = x_kv.shape[1] if x_kv is not None else tq
+        attn_bias = future_mask(tq, tk)
+
+    if hp.layers:
+        layer_rngs = (
+            rngs[4:4 + hp.layers]
+            if rngs is not None
+            else jnp.zeros((hp.layers, 2), jnp.uint32)
+        )
+
+        def body(carry, inp):
+            lp, gate, lrng = inp
+            y = _layer_forward(
+                lp, carry, x_k, x_v, hp, masks, attn_bias, attn_rate, train,
+                lrng if rng is not None else None)
+            return jnp.where(gate > 0, y, carry), None
+
+        x, _ = jax.lax.scan(body, x, (params["layers"], masks.layer_gates, layer_rngs))
+
+    return masked_layer_norm(x, params["ln"]["g"], params["ln"]["b"], cm)

@@ -1,0 +1,335 @@
+"""Op-level elastic-equivalence oracles.
+
+The reference's behavioural contract (SURVEY.md §4): a parent module under an
+active configuration must compute exactly what the extracted dense subnet
+computes.  Here: every masked op on full-width tensors must equal the same op
+run on compacted tensors with sliced weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_transformer_robustness_tpu.ops import (
+    EncoderMasks,
+    encoder_forward,
+    future_mask,
+    init_encoder,
+    init_mha,
+    make_positions,
+    masked_layer_norm,
+    masked_linear,
+    multihead_attention,
+    sinusoidal_pe,
+)
+from multimodal_transformer_robustness_tpu.ops.encoder import EncoderHParams
+
+ATOL = 2e-5
+
+
+def _mask(rng, n, n_act):
+    idx = np.sort(rng.choice(n, size=n_act, replace=False))
+    m = np.zeros((n,), np.float32)
+    m[idx] = 1.0
+    return jnp.asarray(m), idx
+
+
+def _prefix_mask(n, n_act):
+    m = np.zeros((n,), np.float32)
+    m[:n_act] = 1.0
+    return jnp.asarray(m)
+
+
+def test_future_mask_matches_reference_rule():
+    # reference: torch.triu(-inf, diagonal=1+abs(dim2-dim1))
+    for tq, tk in [(4, 4), (3, 5), (5, 3), (1, 1)]:
+        m = np.asarray(future_mask(tq, tk))
+        for i in range(tq):
+            for j in range(tk):
+                expect = -np.inf if (j - i) >= 1 + abs(tk - tq) else 0.0
+                assert m[i, j] == expect
+        # every row keeps at least one finite entry (softmax-safe)
+        assert np.isfinite(m).any(axis=1).all()
+
+
+def test_masked_layernorm_equals_compact(rng):
+    B, T, C, n_act = 3, 4, 16, 7
+    x = np.zeros((B, T, C), np.float32)
+    mask, idx = _mask(rng, C, n_act)
+    x[..., idx] = rng.standard_normal((B, T, n_act)).astype(np.float32)
+    g = rng.standard_normal(C).astype(np.float32)
+    b = rng.standard_normal(C).astype(np.float32)
+
+    full = masked_layer_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b), mask)
+    compact = masked_layer_norm(
+        jnp.asarray(x[..., idx]), jnp.asarray(g[idx]), jnp.asarray(b[idx]), None
+    )
+    np.testing.assert_allclose(np.asarray(full)[..., idx], np.asarray(compact), atol=ATOL)
+    # inactive channels stay exactly zero
+    inactive = np.setdiff1d(np.arange(C), idx)
+    assert (np.asarray(full)[..., inactive] == 0).all()
+
+
+def test_layernorm_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(1).standard_normal((2, 5, 12)).astype(np.float32)
+    g = np.random.default_rng(2).standard_normal(12).astype(np.float32)
+    b = np.random.default_rng(3).standard_normal(12).astype(np.float32)
+    ours = masked_layer_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b))
+    theirs = torch.nn.functional.layer_norm(
+        torch.from_numpy(x), (12,), torch.from_numpy(g), torch.from_numpy(b)
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=ATOL)
+
+
+def test_positions_padding_rule():
+    feat0 = jnp.asarray([[0.5, 0.0, -1.0], [0.0, 0.0, 2.0]])
+    pos = np.asarray(make_positions(feat0))
+    # column t -> t+1 unless the value equals padding_idx (0)
+    assert pos.tolist() == [[1, 0, 3], [0, 0, 3]]
+
+
+def test_sinusoidal_pe_masked_equals_compact(rng):
+    B, T, C, n_act = 2, 6, 20, 12
+    mask, idx = _mask(rng, C, n_act)
+    pos = jnp.asarray(rng.integers(0, T + 1, size=(B, T)), jnp.int32)
+    full = sinusoidal_pe(pos, C, mask)
+    compact = sinusoidal_pe(pos, n_act, None)
+    np.testing.assert_allclose(np.asarray(full)[..., idx], np.asarray(compact), atol=ATOL)
+    inactive = np.setdiff1d(np.arange(C), idx)
+    assert (np.asarray(full)[..., inactive] == 0).all()
+    # padding positions have all-zero embeddings
+    zero_rows = np.asarray(pos) == 0
+    assert (np.asarray(full)[zero_rows] == 0).all()
+
+
+def test_sinusoidal_pe_values():
+    # spot-check against the tensor2tensor formula used by the reference
+    C = 8
+    pe = np.asarray(sinusoidal_pe(jnp.asarray([[3]]), C))[0, 0]
+    half = C // 2
+    c1 = np.log(10000.0) / (half - 1)
+    for c in range(C):
+        freq = np.exp((c // 2) * -c1)
+        expect = np.sin(3 * freq) if c % 2 == 0 else np.cos(3 * freq)
+        np.testing.assert_allclose(pe[c], expect, atol=1e-6)
+
+
+def test_masked_linear_equals_gather(rng):
+    B, Cin, Cout = 4, 10, 8
+    x = np.zeros((B, Cin), np.float32)
+    m_in, idx_in = _mask(rng, Cin, 6)
+    m_out, idx_out = _mask(rng, Cout, 5)
+    x[:, idx_in] = rng.standard_normal((B, 6)).astype(np.float32)
+    w = rng.standard_normal((Cout, Cin)).astype(np.float32)
+    b = rng.standard_normal(Cout).astype(np.float32)
+
+    full = masked_linear(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                         mask_in=m_in, mask_out=m_out)
+    compact = np.asarray(x[:, idx_in]) @ w[np.ix_(idx_out, idx_in)].T + b[idx_out]
+    np.testing.assert_allclose(np.asarray(full)[:, idx_out], compact, atol=ATOL)
+    assert (np.asarray(full)[:, np.setdiff1d(np.arange(Cout), idx_out)] == 0).all()
+
+
+def _slice_mha(params, h_act, dh_act, idx=None):
+    """Dense subnet extraction for attention — the masked path must equal
+    running this sliced computation (reference get_active_subnet,
+    dynamic_multihead_attention.py:122-163)."""
+    p = {
+        "in_proj_w": params["in_proj_w"][:, :h_act, :dh_act, :],
+        "in_proj_b": params["in_proj_b"][:, :h_act, :dh_act],
+        "out_w": params["out_w"][:, :h_act, :dh_act],
+        "out_b": params["out_b"],
+    }
+    if idx is not None:
+        p["in_proj_w"] = p["in_proj_w"][..., idx]
+        p["out_w"] = p["out_w"][idx]
+        p["out_b"] = p["out_b"][idx]
+    return p
+
+
+@pytest.mark.parametrize("h_act,dh_act", [(4, 8), (2, 8), (4, 3), (1, 1)])
+def test_mha_prefix_slab_equals_sliced(rng, h_act, dh_act):
+    B, T, E, H, Dh = 3, 5, 12, 4, 8
+    params = init_mha(jax.random.PRNGKey(0), E, H, Dh)
+    x = jnp.asarray(rng.standard_normal((B, T, E)), jnp.float32)
+    bias = future_mask(T, T)
+    hm = _prefix_mask(H, h_act)
+    dm = _prefix_mask(Dh, dh_act)
+
+    full = multihead_attention(params, x, x, x, head_mask=hm, head_dim_mask=dm,
+                               attn_bias=bias)
+    sliced = _slice_mha(params, h_act, dh_act)
+    ones_h = _prefix_mask(h_act, h_act)
+    ones_d = _prefix_mask(dh_act, dh_act)
+    compact = multihead_attention(sliced, x, x, x, head_mask=ones_h,
+                                  head_dim_mask=ones_d, attn_bias=bias)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(compact), atol=ATOL)
+
+
+def test_mha_channel_mask_equals_sliced(rng):
+    B, T, E, H, Dh = 2, 4, 10, 2, 4
+    params = init_mha(jax.random.PRNGKey(1), E, H, Dh)
+    cm, idx = _mask(rng, E, 6)
+    x = np.zeros((B, T, E), np.float32)
+    x[..., idx] = rng.standard_normal((B, T, 6)).astype(np.float32)
+    bias = future_mask(T, T)
+    hm = _prefix_mask(H, H)
+    dm = _prefix_mask(Dh, 3)
+
+    full = multihead_attention(jax.tree.map(jnp.asarray, params), jnp.asarray(x),
+                               jnp.asarray(x), jnp.asarray(x),
+                               head_mask=hm, head_dim_mask=dm, attn_bias=bias,
+                               channel_mask=cm)
+    sliced = _slice_mha(params, H, 3, idx=idx)
+    compact = multihead_attention(sliced, jnp.asarray(x[..., idx]),
+                                  jnp.asarray(x[..., idx]), jnp.asarray(x[..., idx]),
+                                  head_mask=hm, head_dim_mask=_prefix_mask(3, 3),
+                                  attn_bias=bias)
+    np.testing.assert_allclose(np.asarray(full)[..., idx], np.asarray(compact), atol=ATOL)
+
+
+def _slice_encoder(params, hp, L_act, h_act, dh_act, ffn_act, idx=None):
+    """Dense encoder subnet: slice stacked layers + final LN
+    (reference DynamicTransformerEncoder.get_active_subnet,
+    dynamic_transformer.py:91-102)."""
+    take = lambda x: x[:L_act]
+    lp = jax.tree.map(take, params["layers"])
+    lp = {
+        "attn": {
+            "in_proj_w": lp["attn"]["in_proj_w"][:, :, :h_act, :dh_act, :],
+            "in_proj_b": lp["attn"]["in_proj_b"][:, :, :h_act, :dh_act],
+            "out_w": lp["attn"]["out_w"][:, :, :h_act, :dh_act],
+            "out_b": lp["attn"]["out_b"],
+        },
+        "fc1": {"w": lp["fc1"]["w"][:, :ffn_act, :], "b": lp["fc1"]["b"][:, :ffn_act]},
+        "fc2": {"w": lp["fc2"]["w"][:, :, :ffn_act], "b": lp["fc2"]["b"]},
+        "ln0": lp["ln0"],
+        "ln1": lp["ln1"],
+    }
+    ln = params["ln"]
+    if idx is not None:
+        lp["attn"]["in_proj_w"] = lp["attn"]["in_proj_w"][..., idx]
+        lp["attn"]["out_w"] = lp["attn"]["out_w"][:, idx]
+        lp["attn"]["out_b"] = lp["attn"]["out_b"][:, idx]
+        lp["fc1"]["w"] = lp["fc1"]["w"][..., idx]
+        lp["fc2"]["w"] = lp["fc2"]["w"][:, idx, :]
+        lp["fc2"]["b"] = lp["fc2"]["b"][:, idx]
+        lp["ln0"] = {"g": lp["ln0"]["g"][:, idx], "b": lp["ln0"]["b"][:, idx]}
+        lp["ln1"] = {"g": lp["ln1"]["g"][:, idx], "b": lp["ln1"]["b"][:, idx]}
+        ln = {"g": ln["g"][idx], "b": ln["b"][idx]}
+    sub_hp = EncoderHParams(
+        embed_dim_in=hp.embed_dim_in,  # embed_scale stays sqrt(full dim)
+        num_heads=h_act, head_dim=dh_act, layers=L_act,
+        attn_mask=hp.attn_mask,
+    )
+    return {"layers": lp, "ln": ln}, sub_hp
+
+
+def _full_masks(hp, L_act, h_act, dh_act, ffn_act, cm=None):
+    return EncoderMasks(
+        layer_gates=_prefix_mask(hp.layers, L_act),
+        head_mask=_prefix_mask(hp.num_heads, h_act),
+        head_dim_mask=_prefix_mask(hp.head_dim, dh_act),
+        ffn_mask=_prefix_mask(4 * hp.num_heads * hp.head_dim, ffn_act),
+        channel_mask=cm,
+    )
+
+
+@pytest.mark.parametrize("L_act", [0, 1, 3])
+def test_encoder_self_equals_sliced(rng, L_act):
+    B, T, E, H, Dh, L = 2, 5, 12, 3, 4, 3
+    hp = EncoderHParams(embed_dim_in=E, num_heads=H, head_dim=Dh, layers=L, attn_mask=True)
+    params = init_encoder(jax.random.PRNGKey(2), hp)
+    x = jnp.asarray(rng.standard_normal((B, T, E)), jnp.float32)
+
+    full = encoder_forward(params, x, hp=hp,
+                           masks=_full_masks(hp, L_act, 2, 3, 20))
+    sub_params, sub_hp = _slice_encoder(params, hp, L_act, 2, 3, 20)
+    # the subnet's masks are all-ones at its reduced sizes, except ffn whose
+    # full size is 4*h_act*dh_act in sub_hp: slice to min
+    sub_masks = EncoderMasks(
+        layer_gates=_prefix_mask(L_act, L_act),
+        head_mask=_prefix_mask(2, 2),
+        head_dim_mask=_prefix_mask(3, 3),
+        ffn_mask=_prefix_mask(20, 20),
+        channel_mask=None,
+    )
+    # fc1/fc2 in sub_params were sliced to ffn_act=20 rows; adjust hp FFN via mask
+    compact = encoder_forward(sub_params, x, hp=sub_hp, masks=sub_masks)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(compact), atol=ATOL)
+
+
+def test_encoder_cross_equals_sliced(rng):
+    B, Tq, Tk, E, H, Dh, L = 2, 3, 6, 8, 2, 4, 2
+    hp = EncoderHParams(embed_dim_in=E, num_heads=H, head_dim=Dh, layers=L, attn_mask=True)
+    params = init_encoder(jax.random.PRNGKey(3), hp)
+    x = jnp.asarray(rng.standard_normal((B, Tq, E)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((B, Tk, E)), jnp.float32)
+
+    full = encoder_forward(params, x, kv, hp=hp, masks=_full_masks(hp, 1, 1, 2, 7))
+    sub_params, sub_hp = _slice_encoder(params, hp, 1, 1, 2, 7)
+    sub_masks = EncoderMasks(
+        layer_gates=_prefix_mask(1, 1), head_mask=_prefix_mask(1, 1),
+        head_dim_mask=_prefix_mask(2, 2), ffn_mask=_prefix_mask(7, 7),
+        channel_mask=None)
+    compact = encoder_forward(sub_params, x, kv, hp=sub_hp, masks=sub_masks)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(compact), atol=ATOL)
+
+
+def test_encoder_channel_mask_equals_sliced(rng):
+    B, T, E, H, Dh, L = 2, 4, 10, 2, 4, 2
+    hp = EncoderHParams(embed_dim_in=E, num_heads=H, head_dim=Dh, layers=L, attn_mask=True)
+    params = init_encoder(jax.random.PRNGKey(4), hp)
+    cm, idx = _mask(rng, E, 6)
+    x = np.zeros((B, T, E), np.float32)
+    x[..., idx] = rng.standard_normal((B, T, 6)).astype(np.float32)
+
+    full = encoder_forward(params, jnp.asarray(x), hp=hp,
+                           masks=_full_masks(hp, 2, 2, 4, 32, cm=cm))
+    sub_params, sub_hp = _slice_encoder(params, hp, 2, 2, 4, 32, idx=idx)
+    # the compacted subnet sees only 6 channels, but its embed scale must stay
+    # sqrt(full E) — replicated from dynamic_transformer.py:27/60-62 where
+    # embed_scale is fixed at construction while PE width follows the mask
+    sub_hp = EncoderHParams(
+        embed_dim_in=E, num_heads=2, head_dim=4, layers=2, attn_mask=True)
+    sub_masks = EncoderMasks(
+        layer_gates=_prefix_mask(2, 2), head_mask=_prefix_mask(2, 2),
+        head_dim_mask=_prefix_mask(4, 4), ffn_mask=_prefix_mask(32, 32),
+        channel_mask=None)
+    x_c = jnp.asarray(x[..., idx])
+    compact = _compact_encoder_forward(sub_params, x_c, sub_masks, E)
+    np.testing.assert_allclose(np.asarray(full)[..., idx], np.asarray(compact),
+                               atol=ATOL)
+    assert (np.asarray(full)[..., np.setdiff1d(np.arange(E), idx)] == 0).all()
+
+
+def _compact_encoder_forward(params, x, masks, full_e):
+    """Reference-style compacted forward for a channel-sliced subnet: width is
+    the compacted channel count but embed_scale uses the parent's full width
+    (dynamic_transformer.py:27,60-62)."""
+    import math as _math
+
+    from multimodal_transformer_robustness_tpu.ops.dropout import dropout as _drop
+
+    c = x.shape[-1]
+    pos = make_positions(x[:, :, 0])
+    pe = sinusoidal_pe(pos, c, None)
+    h = _math.sqrt(full_e) * x + pe
+    bias = future_mask(x.shape[1], x.shape[1])
+    L = params["layers"]["ln0"]["g"].shape[0]
+    for l in range(L):
+        lp = jax.tree.map(lambda a: a[l], params["layers"])
+        res = h
+        y = masked_layer_norm(h, lp["ln0"]["g"], lp["ln0"]["b"])
+        y = multihead_attention(lp["attn"], y, y, y, head_mask=masks.head_mask,
+                                head_dim_mask=masks.head_dim_mask, attn_bias=bias)
+        h = res + y
+        res = h
+        y = masked_layer_norm(h, lp["ln1"]["g"], lp["ln1"]["b"])
+        y = masked_linear(y, lp["fc1"]["w"], lp["fc1"]["b"], mask_out=masks.ffn_mask)
+        y = jax.nn.relu(y)
+        y = masked_linear(y, lp["fc2"]["w"], lp["fc2"]["b"])
+        h = res + y
+    return masked_layer_norm(h, params["ln"]["g"], params["ln"]["b"])
