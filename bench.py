@@ -1,0 +1,115 @@
+"""Driver benchmark: MOSEI-config train-step throughput (samples/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Config matches the reference's canonical MOSEI command (run.sh: d=200,
+8 heads, head_dim 25, layers 3/4/2, batch 16) with the same synthetic input
+shapes and a random-init 4-layer BERT text encoder on both sides (no
+pretrained weights exist in this environment; identical compute either way).
+
+``vs_baseline`` compares against the measured reference throughput in
+BASELINE_MEASURED.json (produced by benchmarks/reference_baseline.py —
+torch-CPU, the only hardware the reference can run on here; the reference
+repo publishes no numbers, BASELINE.md).  Extra context (step ms, hardware)
+goes to stderr.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main(batch_size=16, steps=30, warmup=2, bert_layers=4):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multimodal_transformer_robustness_tpu import build_masks, full_active_config
+    from multimodal_transformer_robustness_tpu.masks import build_masks as _bm
+    from multimodal_transformer_robustness_tpu.models import init_supernet, supernet_apply
+    from multimodal_transformer_robustness_tpu.models.bert import BertConfig
+    from multimodal_transformer_robustness_tpu.train.loop import make_criterion
+    from multimodal_transformer_robustness_tpu.train.sampling import sample_train_config
+    from __graft_entry__ import _mosei_spec
+
+    spec = _mosei_spec()
+    bert_cfg = BertConfig(num_layers=bert_layers)
+    params, frozen = init_supernet(jax.random.PRNGKey(0), spec, bert_cfg=bert_cfg)
+
+    B, T, L = batch_size, 50, 32
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(np.stack([
+        rng.integers(0, bert_cfg.vocab_size, (B, L)),
+        np.zeros((B, L), np.int64), np.ones((B, L), np.int64)]))
+    audio = jnp.asarray(rng.standard_normal((B, T, 768)), jnp.float32)
+    vision = jnp.asarray(rng.standard_normal((B, T, 512)), jnp.float32)
+    labels = jnp.asarray(rng.standard_normal((B, 1)), jnp.float32)
+    inputs = [text, audio, vision]
+
+    criterion = make_criterion("L1Loss")
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+    opt_state = tx.init(params)
+    valid = jnp.ones((B,), jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, masks, key):
+        def loss_fn(p):
+            preds = supernet_apply(spec, p, masks, inputs, frozen=frozen,
+                                   bert_cfg=bert_cfg, train=True, rng=key)
+            return criterion(preds, labels, valid)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # per-step random_sample configs, as training does (host-side sampling,
+    # zero retraces on the device step)
+    host_rng = np.random.default_rng(0)
+    pool = [[0], [1], [2], [0, 1], [0, 2], [1, 2], [0, 1, 2]]
+    mask_stream = [
+        build_masks(spec, sample_train_config(spec, "random_sample", pool, host_rng))
+        for _ in range(steps + warmup)]
+
+    key = jax.random.PRNGKey(0)
+    for i in range(warmup):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, mask_stream[i], k)
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = train_step(
+            params, opt_state, mask_stream[warmup + i], k)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / steps
+
+    sps = batch_size / dt
+    baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
+    vs = 1.0
+    base_note = "no baseline file"
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        vs = sps / base["reference_samples_per_sec"]
+        base_note = (f"reference {base['reference_samples_per_sec']:.2f} "
+                     f"samples/s on {base['hardware']}")
+    print(f"step {dt * 1000:.1f} ms on {jax.devices()[0].platform} "
+          f"({jax.devices()[0]}); {base_note}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "mosei_train_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "samples/sec",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

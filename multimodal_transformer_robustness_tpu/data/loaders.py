@@ -1,0 +1,119 @@
+"""Host-side input pipeline: fixed-shape numpy batches for the TPU.
+
+Replaces the reference's torch DataLoader + per-batch dynamic padding
+(main.py:134-137, src/dataset.py:28-57) with static-shape batches: every
+batch of a split has identical array shapes (sequence dims padded to a
+per-dataset cap, the last short batch padded up to ``batch_size`` with a
+validity mask), so the jitted step never retraces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Batch:
+    inputs: List[np.ndarray]       # one array per modality, fixed shapes
+    labels: np.ndarray
+    valid: np.ndarray              # [B] 1.0 for real rows, 0.0 for padding
+
+
+class ArrayDataset:
+    """A dataset fully materialized as per-modality arrays (first axis N)."""
+
+    def __init__(self, inputs: Sequence[np.ndarray], labels: np.ndarray,
+                 dims: Sequence[int], seq_len: int):
+        self.inputs = [np.asarray(x) for x in inputs]
+        self.labels = np.asarray(labels)
+        self._dims = list(dims)
+        self._seq_len = seq_len
+        n = len(self.labels)
+        assert all(len(x) == n for x in self.inputs)
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    def get_dim(self) -> List[int]:
+        return list(self._dims)
+
+    def get_seq_len(self) -> int:
+        return self._seq_len
+
+    def get_n_modalities(self) -> int:
+        return len(self.inputs)
+
+
+class BatchIterator:
+    """Deterministic, seeded batching with tail padding to a fixed size."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_tail: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_tail = drop_tail
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_tail:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Batch]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        stop = (n // bs) * bs if self.drop_tail else n
+        for start in range(0, stop, bs):
+            idx = order[start:start + bs]
+            valid = np.ones((bs,), np.float32)
+            if len(idx) < bs:
+                pad = bs - len(idx)
+                valid[len(idx):] = 0.0
+                idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            yield self._gather(idx, valid)
+
+    def _gather(self, idx: np.ndarray, valid: np.ndarray) -> Batch:
+        ds = self.dataset
+        if hasattr(ds, "gather"):
+            inputs, labels = ds.gather(idx)
+        else:
+            inputs = [x[idx] for x in ds.inputs]
+            labels = ds.labels[idx]
+        return Batch(inputs=inputs, labels=labels, valid=valid)
+
+
+def get_data(dataset: str, data_path: str, split: str = "train", **kw):
+    """Dataset-name dispatch (reference src/utils.py:51-72)."""
+    name = dataset.strip().lower()
+    if name == "mosei_senti":
+        from .mosei import MoseiDataset
+
+        return MoseiDataset(data_path, split, **kw)
+    if name == "avmnist":
+        from .avmnist import AvMnistDataset
+
+        return AvMnistDataset(data_path, split, **kw)
+    if name == "mojupush":
+        from .gentle_push import GentlePushDataset
+
+        return GentlePushDataset(data_path, split, **kw)
+    if name == "enrico":
+        from .enrico import EnricoDataset
+
+        return EnricoDataset(data_path, split, **kw)
+    if name == "eeg2a":
+        from .eeg import EEG2aDataset
+
+        return EEG2aDataset(data_path, split_type=split, **kw)
+    raise NotImplementedError(f"{dataset} does not exist!")

@@ -1,0 +1,311 @@
+"""Training / evaluation engine.
+
+Mirrors the behaviour of reference src/train.py (``initiate`` /
+``train_model`` with nested ``train`` / ``evaluate``), re-designed for TPU:
+
+  * ONE jitted ``train_step`` (forward + loss + global-norm clip + adam)
+    serves every elastic configuration — the per-batch sampled config enters
+    as a mask pytree, never as new Python structure, so there is exactly one
+    compilation per input shape.
+  * the reference's off-by-one quirk is replicated: the configuration
+    sampled at batch i is applied at batch i+1 (train.py:92-182 samples
+    between forward and backward, after autograd already recorded the graph).
+  * ``ReduceLROnPlateau`` + lr-floor early stop + best-validation
+    checkpointing follow train.py:436-513 (including the random_sample
+    validation metric being (M+1) identical full-topology evals — the
+    per-modality configs built at train.py:447-448 are shadowed at :458).
+  * missing-modality evaluation zero-fills inactive inputs (train.py:218)
+    via a traced [M] flag vector — no retrace per subset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ActiveConfig, ModelSpec, full_active_config
+from ..masks import SupernetMasks, build_masks
+from ..metrics import binary_acc, multiclass_acc
+from ..models import supernet_apply
+from ..models.bert import BertConfig
+from .sampling import sample_train_config
+
+
+@dataclasses.dataclass
+class TrainHParams:
+    """The reference's hyp_params surface (main.py:12-86) minus dataset
+    plumbing."""
+
+    batch_size: int = 16
+    lr: float = 1e-3
+    optim: str = "Adam"
+    clip: float = 1.0
+    num_epochs: int = 50
+    when: int = 10                       # plateau patience
+    experiment_type: str = "random_sample"
+    modality_pool: Optional[Sequence[Sequence[int]]] = None
+    all_module: bool = False
+    specific: Optional[list] = None
+    criterion: str = "L1Loss"
+    log_interval: int = 360
+    seed: int = 1111
+    dataset: str = "mosei_senti"
+    model_path: Optional[str] = None
+
+
+def make_criterion(name: str) -> Callable:
+    """Valid-row-weighted batch loss (tail batches are padded; weighting by
+    the validity mask reproduces the reference's plain mean over real rows)."""
+    if name == "L1Loss":
+        def loss(preds, labels, valid):
+            per = jnp.abs(preds - labels).mean(axis=tuple(range(1, preds.ndim)))
+            return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        return loss
+    if name == "MSELoss":
+        def loss(preds, labels, valid):
+            per = jnp.square(preds - labels).mean(axis=tuple(range(1, preds.ndim)))
+            return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        return loss
+    if name == "CrossEntropyLoss":
+        def loss(preds, labels, valid):
+            per = optax.softmax_cross_entropy_with_integer_labels(
+                preds, labels.astype(jnp.int32))
+            return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        return loss
+    raise NotImplementedError(name)
+
+
+class ReduceLROnPlateau:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau(mode='min',
+    patience=when, factor=0.1) with torch defaults (threshold 1e-4 rel)."""
+
+    def __init__(self, lr: float, patience: int, factor: float = 0.1,
+                 threshold: float = 1e-4):
+        self.lr = lr
+        self.patience = patience
+        self.factor = factor
+        self.threshold = threshold
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr *= self.factor
+                self.num_bad = 0
+        return self.lr
+
+
+def _zero_fill(inputs: List[jnp.ndarray], flags: jnp.ndarray) -> List[jnp.ndarray]:
+    """Zero-out modalities whose flag is 0 (train.py:218 replaces missing
+    inputs by zero tensors).  Works for float features and int token ids
+    (zeros == pad id)."""
+    out = []
+    for i, x in enumerate(inputs):
+        out.append((x * flags[i].astype(x.dtype)).astype(x.dtype))
+    return out
+
+
+class Trainer:
+    """Builds the jitted step functions and runs the reference's experiment
+    loop.  ``initiate``-equivalent: construct with spec/params, call
+    :meth:`fit`."""
+
+    def __init__(self, spec: ModelSpec, params, frozen: dict,
+                 hp: TrainHParams, bert_cfg: Optional[BertConfig] = None):
+        assert hp.optim == "Adam", (
+            "reference uses torch.optim.<name>; Adam is the only shipped "
+            "config (run.sh) — extend here for others")
+        self.spec = spec
+        self.hp = hp
+        self.frozen = frozen
+        self.bert_cfg = bert_cfg
+        self.criterion = make_criterion(hp.criterion)
+        self.scheduler = ReduceLROnPlateau(hp.lr, patience=hp.when)
+        self.tx = optax.inject_hyperparams(self._make_tx)(learning_rate=hp.lr)
+        self.params = params
+        self.opt_state = self.tx.init(params)
+        self.rng = np.random.default_rng(hp.seed)
+        self._key = jax.random.PRNGKey(hp.seed)
+        self.training_curve: List[List[float]] = []
+
+        spec_apply = functools.partial(supernet_apply, spec)
+
+        def train_step(params, opt_state, masks, inputs, labels, valid, key):
+            def loss_fn(p):
+                preds = spec_apply(p, masks, inputs, frozen=self.frozen,
+                                   bert_cfg=self.bert_cfg, train=True, rng=key)
+                return self.criterion(preds, labels, valid)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        def eval_step(params, masks, inputs, zero_flags):
+            return spec_apply(params, masks, _zero_fill(list(inputs), zero_flags),
+                              frozen=self.frozen, bert_cfg=self.bert_cfg,
+                              train=False)
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self.eval_step = jax.jit(eval_step)
+        # config-batched eval: vmap over a stacked mask pytree — the
+        # robustness sweep / EA fitness axis (replaces the reference's serial
+        # full-validation passes, train.py:352-370)
+        self.eval_step_batched = jax.jit(
+            jax.vmap(eval_step, in_axes=(None, 0, None, None)))
+
+    def _make_tx(self, learning_rate):
+        return optax.chain(
+            optax.clip_by_global_norm(self.hp.clip),
+            optax.adam(learning_rate),
+        )
+
+    def _set_lr(self, lr: float) -> None:
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, train_iter, current_masks: SupernetMasks,
+                    epoch: int = 0) -> tuple:
+        """One epoch; returns (epoch_loss, masks_left_active).
+
+        Replicates the sample-lags-one-batch quirk: the step runs with the
+        masks sampled during the PREVIOUS batch."""
+        hp, spec = self.hp, self.spec
+        epoch_loss, proc_loss, proc_size = 0.0, 0.0, 0
+        n_seen = 0
+        start = time.time()
+        for i_batch, batch in enumerate(train_iter):
+            inputs = [jnp.asarray(x) for x in batch.inputs]
+            labels = jnp.asarray(batch.labels)
+            valid = jnp.asarray(batch.valid)
+            self.params, self.opt_state, loss = self.train_step(
+                self.params, self.opt_state, current_masks, inputs, labels,
+                valid, self._next_key())
+            # sample the NEXT batch's configuration (train.py:95-178)
+            cfg = sample_train_config(
+                spec, hp.experiment_type, hp.modality_pool, self.rng,
+                all_module=hp.all_module, specific=hp.specific)
+            current_masks = build_masks(spec, cfg)
+
+            bsz = int(np.sum(batch.valid))
+            loss_f = float(loss)
+            proc_loss += loss_f * bsz
+            proc_size += bsz
+            epoch_loss += loss_f * bsz
+            n_seen += bsz
+            if (i_batch + 1) % hp.log_interval == 0:
+                elapsed = time.time() - start
+                print("Epoch {:2d} | Batch {:3d} | Time/Batch(ms) {:5.2f} | "
+                      "Train Loss {:5.4f}".format(
+                          epoch, i_batch + 1,
+                          elapsed * 1000 / hp.log_interval,
+                          proc_loss / max(proc_size, 1)))
+                proc_loss, proc_size = 0.0, 0
+                start = time.time()
+        return epoch_loss / max(n_seen, 1), current_masks
+
+    def evaluate(self, loader, masks: SupernetMasks,
+                 activate_modality: Sequence[int]) -> tuple:
+        """Returns (metric, preds, truths) — the reference's evaluate
+        (train.py:203-248) with its per-dataset metric switch."""
+        spec = self.spec
+        flags = np.zeros((spec.modality_num,), np.float32)
+        for i in activate_modality:
+            flags[i] = 1.0
+        flags = jnp.asarray(flags)
+        preds_all, truth_all = [], []
+        for batch in loader:
+            inputs = [jnp.asarray(x) for x in batch.inputs]
+            preds = self.eval_step(self.params, masks, inputs, flags)
+            keep = batch.valid > 0
+            preds_all.append(np.asarray(preds)[keep])
+            truth_all.append(np.asarray(batch.labels)[keep])
+        preds = np.concatenate(preds_all)
+        truths = np.concatenate(truth_all)
+        return self._metric(preds, truths), preds, truths
+
+    def _metric(self, preds: np.ndarray, truths: np.ndarray) -> float:
+        ds = self.hp.dataset
+        if ds in ("avmnist", "enrico", "eeg2a"):
+            return multiclass_acc(preds.argmax(axis=-1), truths)
+        if ds == "mosei_senti":
+            return binary_acc(preds, truths, True)
+        if ds == "mojupush":
+            return -float(np.mean(np.square(preds - truths)))
+        raise NotImplementedError(ds + " does not exist")
+
+    # ------------------------------------------------------------------
+    def fit(self, train_loader, valid_loader, test_loader,
+            save_fn: Optional[Callable] = None) -> List[List[float]]:
+        """The reference epoch loop (train.py:436-517): train, validation
+        metric (random_sample: (M+1) identical full-topology evals),
+        plateau scheduling on 1-val_acc, best-val checkpoint, lr-floor stop."""
+        hp, spec = self.hp, self.spec
+        M = spec.modality_num
+        full_masks = build_masks(spec, full_active_config(spec))
+        current_masks = full_masks  # ctor default is the full MulT topology
+        best_valid = -1e8
+        t0 = time.time()
+        for epoch in range(1, hp.num_epochs + 1):
+            ep_start = time.time()
+            _, current_masks = self.train_epoch(train_loader, current_masks, epoch)
+
+            val_acc = 0.0
+            if hp.experiment_type == "random_sample":
+                # (M) evals of the SAME full config — replicated shadowing
+                # quirk, train.py:444-460
+                for _ in range(M):
+                    val_acc += self.evaluate(valid_loader, full_masks,
+                                             list(range(M)))[0]
+            eval_masks = full_masks
+            if hp.experiment_type == "test_single" and hp.modality_pool and \
+                    len(hp.modality_pool) > 1:
+                aco = [[] for _ in range(M)]
+                j = hp.modality_pool[1][0]
+                aco[j] = [spec.modality_set[j]]
+                cfg = full_active_config(spec)
+                cfg.active_cross_output = aco
+                eval_masks = build_masks(spec, cfg)
+            if hp.experiment_type in ("baseline_ic", "random_sample"):
+                current_masks = full_masks
+            elif hp.experiment_type == "test_single" and hp.modality_pool and \
+                    len(hp.modality_pool) > 1:
+                current_masks = eval_masks
+
+            val1 = self.evaluate(valid_loader, eval_masks, list(range(M)))[0]
+            val_acc = val_acc + val1 if hp.experiment_type == "random_sample" else val1
+            test_acc = self.evaluate(test_loader, eval_masks, list(range(M)))[0]
+            self.training_curve.append([val_acc, test_acc])
+
+            new_lr = self.scheduler.step(1.0 - val_acc)
+            self._set_lr(new_lr)
+            dur = time.time() - ep_start
+            print("-" * 50)
+            print("Epoch {:2d} | Time {:5.4f} sec | Valid Acc {:5.4f} | "
+                  "Test Acc {:5.4f}".format(epoch, dur, abs(val_acc), abs(test_acc)))
+            print("-" * 50)
+            if val_acc > best_valid:
+                best_valid = val_acc
+                if save_fn is not None:
+                    save_fn(self.params, epoch, val_acc)
+            if new_lr <= 1e-16:
+                break
+        print(time.time() - t0)
+        print(self.training_curve)
+        return self.training_curve

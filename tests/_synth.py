@@ -1,0 +1,29 @@
+"""Synthetic datasets for end-to-end tests (shapes mirror the real ones)."""
+
+import numpy as np
+
+from multimodal_transformer_robustness_tpu.data.loaders import ArrayDataset
+
+
+def synth_avmnist(n=64, img=28, aud=112, n_classes=10, seed=0,
+                  learnable=True):
+    """avMNIST-shaped data.  With ``learnable=True`` the label is encoded as
+    a strong mean-shift in both modalities so a few training steps visibly
+    reduce loss."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_classes, size=n).astype(np.int64)
+    image = rng.standard_normal((n, 1, img, img)).astype(np.float32)
+    audio = rng.standard_normal((n, 1, aud, aud)).astype(np.float32)
+    if learnable:
+        shift = (labels / n_classes - 0.5).astype(np.float32)
+        image += shift[:, None, None, None]
+        audio += shift[:, None, None, None]
+    return ArrayDataset([image, audio], labels, dims=[img, aud], seq_len=img)
+
+
+def synth_mosei_like(n=48, t=6, dims=(12, 10, 8), seed=0):
+    """3-modality regression data with RNN headers (no BERT)."""
+    rng = np.random.default_rng(seed)
+    xs = [rng.standard_normal((n, t, d)).astype(np.float32) for d in dims]
+    labels = (xs[0].mean(axis=(1, 2), keepdims=False)[:, None] * 3).astype(np.float32)
+    return ArrayDataset(xs, labels, dims=list(dims), seq_len=t)
