@@ -1,0 +1,242 @@
+"""Checkpointing + reference-format interop.
+
+Native path: orbax pytree checkpoints of the full param tree (the reference
+pickles the whole model on best validation, train.py:508-511, and resumes by
+unpickling — src/train.py:31-33).
+
+Interop path: the reference's ``state_dict`` naming is the exchange format
+(SURVEY.md §5 checkpoint/resume).  ``export_torch_state_dict`` maps our mask-
+era param pytree onto the reference's exact parameter names/shapes, and
+``import_torch_state_dict`` goes the other way — so a parent trained on
+either stack can be evaluated/extended on the other.  ``load_reference_pickle``
+additionally unpickles a reference whole-model checkpoint (with import stubs
+for its missing deps) and extracts the state_dict.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelSpec
+from .models.mult import SupernetParams
+
+
+# --------------------------------------------------------------------- orbax
+
+def save_checkpoint(path: str, params, extra: Optional[dict] = None) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = {"params": params}
+    if extra:
+        tree["extra"] = extra
+    ckptr.save(path, tree, force=True)
+
+
+def load_checkpoint(path: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path))
+    params = tree["params"]
+    if isinstance(params, dict) and set(params.keys()) == set(SupernetParams._fields):
+        params = SupernetParams(**{k: params[k] for k in SupernetParams._fields})
+    return params, tree.get("extra")
+
+
+# ------------------------------------------------- torch state-dict mapping
+
+def _rnn_names(prefix: str, rnn: dict, out: Dict[str, np.ndarray]) -> None:
+    for torch_g, ours in (("lstm1", "gru1"), ("lstm2", "gru2")):
+        for torch_s, dirn in (("", "fwd"), ("_reverse", "bwd")):
+            p = rnn[ours][dirn]
+            out[f"{prefix}.{torch_g}.weight_ih_l0{torch_s}"] = p["w_ih"]
+            out[f"{prefix}.{torch_g}.weight_hh_l0{torch_s}"] = p["w_hh"]
+            out[f"{prefix}.{torch_g}.bias_ih_l0{torch_s}"] = p["b_ih"]
+            out[f"{prefix}.{torch_g}.bias_hh_l0{torch_s}"] = p["b_hh"]
+
+
+def _encoder_names(prefix: str, enc: dict, spec: ModelSpec,
+                   out: Dict[str, np.ndarray]) -> None:
+    L = enc["layers"]["ln0"]["g"].shape[0]
+    e = spec.embed_dim
+    for l in range(L):
+        lp = jax.tree.map(lambda a: a[l], enc["layers"])
+        p = f"{prefix}.layers.{l}"
+        e_in = lp["attn"]["in_proj_w"].shape[-1]
+        out[f"{p}.self_attn.in_proj_weight"] = np.asarray(
+            lp["attn"]["in_proj_w"]).reshape(3 * e, e_in)
+        out[f"{p}.self_attn.in_proj_bias"] = np.asarray(
+            lp["attn"]["in_proj_b"]).reshape(3 * e)
+        out[f"{p}.self_attn.out_proj.weight"] = np.asarray(
+            lp["attn"]["out_w"]).reshape(-1, e)
+        out[f"{p}.self_attn.out_proj.bias"] = np.asarray(lp["attn"]["out_b"])
+        out[f"{p}.fc1.l.weight"] = np.asarray(lp["fc1"]["w"])
+        out[f"{p}.fc1.l.bias"] = np.asarray(lp["fc1"]["b"])
+        out[f"{p}.fc2.l.weight"] = np.asarray(lp["fc2"]["w"])
+        out[f"{p}.fc2.l.bias"] = np.asarray(lp["fc2"]["b"])
+        out[f"{p}.layer_norms.0.ln.weight"] = np.asarray(lp["ln0"]["g"])
+        out[f"{p}.layer_norms.0.ln.bias"] = np.asarray(lp["ln0"]["b"])
+        out[f"{p}.layer_norms.1.ln.weight"] = np.asarray(lp["ln1"]["g"])
+        out[f"{p}.layer_norms.1.ln.bias"] = np.asarray(lp["ln1"]["b"])
+    out[f"{prefix}.layer_norm.ln.weight"] = np.asarray(enc["ln"]["g"])
+    out[f"{prefix}.layer_norm.ln.bias"] = np.asarray(enc["ln"]["b"])
+
+
+def export_torch_state_dict(spec: ModelSpec, params: SupernetParams
+                            ) -> Dict[str, np.ndarray]:
+    """Our pytree -> reference parameter names (reference module tree:
+    src/dynamic_models2.py:138-180).  The frozen BERT instances and the dead
+    model-level ``embedding`` BERT are not exported (the reference freezes
+    them; they are reconstruction-time assets, not learned state)."""
+    out: Dict[str, np.ndarray] = {}
+    M = spec.modality_num
+    for i, ch in enumerate(spec.modality_set):
+        kind = spec.header_kind(ch)
+        hp = params.proj[i]
+        # Sequential member indices per header kind
+        # (dynamic_models2.py:141-146)
+        if kind == "cnn_rnn":
+            out[f"proj.{i}.0.cnn1.weight"] = np.asarray(hp["cnn"]["w"])
+            _rnn_names(f"proj.{i}.1", hp["rnn"], out)
+        elif kind == "bert_rnn":
+            _rnn_names(f"proj.{i}.1", hp["rnn"], out)
+        else:
+            _rnn_names(f"proj.{i}.0", hp["rnn"], out)
+    for i, ch in enumerate(spec.modality_set):
+        _encoder_names(f"trans_mems0.mems0{ch}",
+                       jax.tree.map(lambda a: a[i], params.mems0), spec, out)
+    for j, s in enumerate(spec.cross_strings):
+        _encoder_names(f"trans.cross{s}",
+                       jax.tree.map(lambda a: a[j], params.cross), spec, out)
+        out[f"translation.translation{s}.weight"] = np.asarray(
+            params.translation["w"][j])
+        out[f"translation.translation{s}.bias"] = np.asarray(
+            params.translation["b"][j])
+    for i, ch in enumerate(spec.modality_set):
+        _encoder_names(f"trans_mems.mems{ch}",
+                       jax.tree.map(lambda a: a[i], params.mems), spec, out)
+    for name, lin in (("proj1", params.proj1), ("proj2", params.proj2),
+                      ("out_layer", params.out_layer)):
+        out[f"{name}.l.weight"] = np.asarray(lin["w"])
+        out[f"{name}.l.bias"] = np.asarray(lin["b"])
+    return out
+
+
+def _rnn_from_sd(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    rnn = {}
+    for torch_g, ours in (("lstm1", "gru1"), ("lstm2", "gru2")):
+        rnn[ours] = {}
+        for torch_s, dirn in (("", "fwd"), ("_reverse", "bwd")):
+            rnn[ours][dirn] = {
+                "w_ih": jnp.asarray(sd[f"{prefix}.{torch_g}.weight_ih_l0{torch_s}"]),
+                "w_hh": jnp.asarray(sd[f"{prefix}.{torch_g}.weight_hh_l0{torch_s}"]),
+                "b_ih": jnp.asarray(sd[f"{prefix}.{torch_g}.bias_ih_l0{torch_s}"]),
+                "b_hh": jnp.asarray(sd[f"{prefix}.{torch_g}.bias_hh_l0{torch_s}"]),
+            }
+    return rnn
+
+
+def _encoder_from_sd(sd: Dict[str, np.ndarray], prefix: str, spec: ModelSpec,
+                     layers: int) -> dict:
+    H, Dh = spec.num_heads, spec.head_dim
+    per_layer = []
+    for l in range(layers):
+        p = f"{prefix}.layers.{l}"
+        w_in = np.asarray(sd[f"{p}.self_attn.in_proj_weight"])
+        e_in = w_in.shape[1]
+        per_layer.append({
+            "attn": {
+                "in_proj_w": jnp.asarray(w_in.reshape(3, H, Dh, e_in)),
+                "in_proj_b": jnp.asarray(
+                    np.asarray(sd[f"{p}.self_attn.in_proj_bias"]).reshape(3, H, Dh)),
+                "out_w": jnp.asarray(
+                    np.asarray(sd[f"{p}.self_attn.out_proj.weight"]).reshape(e_in, H, Dh)),
+                "out_b": jnp.asarray(sd[f"{p}.self_attn.out_proj.bias"]),
+            },
+            "fc1": {"w": jnp.asarray(sd[f"{p}.fc1.l.weight"]),
+                    "b": jnp.asarray(sd[f"{p}.fc1.l.bias"])},
+            "fc2": {"w": jnp.asarray(sd[f"{p}.fc2.l.weight"]),
+                    "b": jnp.asarray(sd[f"{p}.fc2.l.bias"])},
+            "ln0": {"g": jnp.asarray(sd[f"{p}.layer_norms.0.ln.weight"]),
+                    "b": jnp.asarray(sd[f"{p}.layer_norms.0.ln.bias"])},
+            "ln1": {"g": jnp.asarray(sd[f"{p}.layer_norms.1.ln.weight"]),
+                    "b": jnp.asarray(sd[f"{p}.layer_norms.1.ln.bias"])},
+        })
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    return {"layers": stacked,
+            "ln": {"g": jnp.asarray(sd[f"{prefix}.layer_norm.ln.weight"]),
+                   "b": jnp.asarray(sd[f"{prefix}.layer_norm.ln.bias"])}}
+
+
+def import_torch_state_dict(spec: ModelSpec, sd: Dict[str, np.ndarray]
+                            ) -> SupernetParams:
+    """Reference parameter names -> our pytree.  Inverse of
+    :func:`export_torch_state_dict` (round-trip tested)."""
+    proj = []
+    for i, ch in enumerate(spec.modality_set):
+        kind = spec.header_kind(ch)
+        if kind == "cnn_rnn":
+            proj.append({"cnn": {"w": jnp.asarray(sd[f"proj.{i}.0.cnn1.weight"])},
+                         "rnn": _rnn_from_sd(sd, f"proj.{i}.1")})
+        elif kind == "bert_rnn":
+            proj.append({"rnn": _rnn_from_sd(sd, f"proj.{i}.1")})
+        else:
+            proj.append({"rnn": _rnn_from_sd(sd, f"proj.{i}.0")})
+    mems0 = jax.tree.map(lambda *xs: jnp.stack(xs), *[
+        _encoder_from_sd(sd, f"trans_mems0.mems0{ch}", spec,
+                         spec.layers_single_attn)
+        for ch in spec.modality_set])
+    cross = None
+    if spec.cross_strings:
+        cross = jax.tree.map(lambda *xs: jnp.stack(xs), *[
+            _encoder_from_sd(sd, f"trans.cross{s}", spec, spec.layers_cross_attn)
+            for s in spec.cross_strings])
+    mems = jax.tree.map(lambda *xs: jnp.stack(xs), *[
+        _encoder_from_sd(sd, f"trans_mems.mems{ch}", spec, spec.layers_self_attn)
+        for ch in spec.modality_set])
+    translation = {
+        "w": jnp.stack([jnp.asarray(sd[f"translation.translation{s}.weight"])
+                        for s in spec.cross_strings]),
+        "b": jnp.stack([jnp.asarray(sd[f"translation.translation{s}.bias"])
+                        for s in spec.cross_strings]),
+    } if spec.cross_strings else {"w": jnp.zeros((1, spec.dimension, spec.dimension)),
+                                  "b": jnp.zeros((1, spec.dimension))}
+    return SupernetParams(
+        proj=tuple(proj), mems0=mems0, cross=cross, mems=mems,
+        translation=translation,
+        proj1={"w": jnp.asarray(sd["proj1.l.weight"]),
+               "b": jnp.asarray(sd["proj1.l.bias"])},
+        proj2={"w": jnp.asarray(sd["proj2.l.weight"]),
+               "b": jnp.asarray(sd["proj2.l.bias"])},
+        out_layer={"w": jnp.asarray(sd["out_layer.l.weight"]),
+                   "b": jnp.asarray(sd["out_layer.l.bias"])})
+
+
+def load_reference_pickle(path: str) -> Dict[str, np.ndarray]:
+    """Unpickle a reference whole-model checkpoint (torch.save(model) at
+    train.py:510) and return its state_dict as numpy.  Requires the reference
+    tree on disk; stubs its unimportable deps."""
+    import sys
+    import types
+
+    if "/root/reference" not in sys.path and os.path.isdir("/root/reference"):
+        sys.path.insert(0, "/root/reference")
+    for name in ("torchvision", "torchvision.transforms", "torchvision.models",
+                 "fannypack"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            import importlib.machinery
+
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = mod
+    import torch
+
+    model = torch.load(path, map_location="cpu", weights_only=False)
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}

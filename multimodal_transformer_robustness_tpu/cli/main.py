@@ -1,0 +1,187 @@
+"""Train/eval driver — the reference's ``main.py`` flag surface
+(reference main.py:12-170) on the TPU-native engine.
+
+Usage matches the reference's canonical command (run.sh), e.g.::
+
+    python -m multimodal_transformer_robustness_tpu.cli.main \
+        --dataset mosei_senti --attn_dropout 0.1 0.1 0.0 0.0 \
+        --modality_pool 2 --num_epochs 20 --lr 0.0001 --when 120 \
+        --dimension 200 --num_heads 8 --head_dim 25 \
+        --layers_single_attn 3 --layers_self_attn 2 --batch_size 16 \
+        --experiment_type test_single --data_path ... --model_path ...
+
+Additions over the reference (kept additive): ``--bert_dir`` (local BERT
+checkpoint directory instead of the reference's hardcoded path),
+``--run_sweep`` (the reference's final test_missing_modality call is
+commented out at train.py:518-527; here it is a flag), ``--max_shards``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MULT Multimodality Learning")
+    p.add_argument("-f", default="", type=str)
+    p.add_argument("--dataset", type=str, default=None)
+    p.add_argument("--data_path", type=str, default=None)
+    p.add_argument("--model_path", type=str, default=None)
+    # dropouts
+    p.add_argument("--attn_dropout", nargs="*", type=float, default=[0.1, 0, 0])
+    p.add_argument("--relu_dropout", type=float, default=0.1)
+    p.add_argument("--embed_dropout", type=float, default=0.3)
+    p.add_argument("--res_dropout", type=float, default=0.3)
+    p.add_argument("--out_dropout", type=float, default=0.1)
+    # architecture
+    p.add_argument("--dimension", type=int, default=30)
+    p.add_argument("--layers_cross_attn", type=int, default=4)
+    p.add_argument("--layers_single_attn", type=int, default=3)
+    p.add_argument("--layers_self_attn", type=int, default=3)
+    p.add_argument("--num_heads", type=int, default=5)
+    p.add_argument("--head_dim", type=int, default=6)
+    p.add_argument("--attn_mask", action="store_false")
+    p.add_argument("--modality_pool", type=int, nargs="+", action="append",
+                   default=None)
+    p.add_argument("--modality_set", type=str, nargs="*", default=["t", "a", "v"])
+    p.add_argument("--all_steps", action="store_true")
+    p.add_argument("--all_module", action="store_true")
+    p.add_argument("--specific", type=int, nargs="+", action="append", default=None)
+    # tuning
+    p.add_argument("--batch_size", type=int, default=16, metavar="N")
+    p.add_argument("--clip", type=float, default=1.0)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--optim", type=str, default="Adam")
+    p.add_argument("--num_epochs", type=int, default=50)
+    p.add_argument("--when", type=int, default=10)
+    p.add_argument("--batch_chunk", type=int, default=1)
+    # logistics
+    p.add_argument("--log_interval", type=int, default=360)
+    p.add_argument("--seed", type=int, default=1111)
+    p.add_argument("--no_cuda", action="store_true")  # accepted, ignored (TPU)
+    # stages
+    p.add_argument("--pretrain", type=str, default=None)
+    p.add_argument("--experiment_type", type=str, default="random_sample")
+    # TPU-build additions
+    p.add_argument("--bert_dir", type=str, default=None,
+                   help="local HF BERT checkpoint dir (replaces the "
+                        "reference's hardcoded path)")
+    p.add_argument("--run_sweep", action="store_true",
+                   help="run the missing-modality sweep after training")
+    p.add_argument("--max_shards", type=int, default=None,
+                   help="cap MOSEI shard count (debug)")
+    return p
+
+
+OUTPUT_DIM = {"mosei_senti": 1, "avmnist": 10, "mojupush": 2, "enrico": 20,
+              "eeg2a": 4}
+CRITERION = {"mosei_senti": "L1Loss", "avmnist": "CrossEntropyLoss",
+             "mojupush": "MSELoss", "enrico": "CrossEntropyLoss",
+             "eeg2a": "CrossEntropyLoss"}
+EVAL_BATCH = {"mosei_senti": 16, "avmnist": 128 * 4, "mojupush": 128 * 4,
+              "enrico": 128 * 4, "eeg2a": 64}
+
+
+def main(argv=None):
+    import jax
+
+    from .. import ModelSpec
+    from ..data import BatchIterator, get_data
+    from ..checkpoint import save_checkpoint
+    from ..models import init_supernet
+    from ..models.bert import BertConfig
+    from ..train import TrainHParams, Trainer
+    from ..train.sweep import masking_inputs_sweep, missing_modality_sweep
+
+    args = build_parser().parse_args(argv)
+    np.random.seed(args.seed)
+
+    print("Start loading the data....")
+    kw = {}
+    if args.dataset == "mosei_senti":
+        kw = {"bert_dir": args.bert_dir, "max_shards": args.max_shards}
+    train_data = get_data(args.dataset, args.data_path, "train", **kw)
+    valid_data = get_data(args.dataset, args.data_path, "valid", **kw)
+    test_data = get_data(args.dataset, args.data_path, "test", **kw)
+    print("Finish loading the data....")
+
+    all_steps = args.all_steps or args.dataset == "mojupush"
+    orig_d = train_data.get_dim()
+    spec = ModelSpec(
+        modality_set=tuple(args.modality_set),
+        orig_dimensions=tuple(orig_d),
+        dimension=args.dimension, num_heads=args.num_heads,
+        head_dim=args.head_dim, layers_single_attn=args.layers_single_attn,
+        layers_cross_attn=args.layers_cross_attn,
+        layers_self_attn=args.layers_self_attn,
+        attn_dropout=tuple(args.attn_dropout), relu_dropout=args.relu_dropout,
+        res_dropout=args.res_dropout, out_dropout=args.out_dropout,
+        embed_dropout=args.embed_dropout, attn_mask=args.attn_mask,
+        output_dim=OUTPUT_DIM[args.dataset], all_steps=all_steps)
+
+    print("orig_d:", orig_d)
+    print("attn_dropout:", list(spec.attn_dropout))
+    print("modality_set:", list(spec.modality_set))
+    print("modality_pool:", args.modality_pool)
+    print("criterion: ", CRITERION[args.dataset])
+    print("batch size: ", args.batch_size)
+    print("num of train: ", len(train_data))
+    print("num of valid: ", len(valid_data))
+    print("num of test: ", len(test_data))
+    print("sequence length: ", train_data.get_seq_len())
+
+    key = jax.random.PRNGKey(args.seed)
+    bert_cfg = None
+    if any(spec.header_kind(c) == "bert_rnn" for c in spec.modality_set) \
+            and not args.bert_dir:
+        bert_cfg = BertConfig(num_layers=4)  # random-init stand-in; pass
+        #                                      --bert_dir for the real weights
+    params, frozen = init_supernet(key, spec, bert_cfg=bert_cfg,
+                                   bert_dir=args.bert_dir)
+    if args.pretrain is not None:
+        print("Load from pretrain model!!!!!!!!")
+        from ..checkpoint import (import_torch_state_dict, load_checkpoint,
+                                  load_reference_pickle)
+
+        if args.pretrain.endswith(".pt"):
+            params = import_torch_state_dict(
+                spec, load_reference_pickle(args.pretrain))
+        else:
+            params, _ = load_checkpoint(args.pretrain)
+
+    hp = TrainHParams(
+        batch_size=args.batch_size, lr=args.lr, optim=args.optim,
+        clip=args.clip, num_epochs=args.num_epochs, when=args.when,
+        experiment_type=args.experiment_type, modality_pool=args.modality_pool,
+        all_module=args.all_module, specific=args.specific,
+        criterion=CRITERION[args.dataset], log_interval=args.log_interval,
+        seed=args.seed, dataset=args.dataset, model_path=args.model_path)
+    trainer = Trainer(spec, params, frozen, hp, bert_cfg=bert_cfg)
+
+    train_loader = BatchIterator(train_data, args.batch_size, shuffle=True,
+                                 seed=args.seed)
+    eval_bs = EVAL_BATCH[args.dataset]
+    valid_loader = BatchIterator(valid_data, eval_bs)
+    test_loader = BatchIterator(test_data, eval_bs)
+
+    def save_fn(p, epoch, val):
+        if args.model_path:
+            print("Saved model at ", args.model_path)
+            save_checkpoint(args.model_path, p,
+                            extra={"epoch": epoch, "val_acc": float(val)})
+
+    trainer.fit(train_loader, valid_loader, test_loader, save_fn=save_fn)
+
+    if args.run_sweep:
+        if args.experiment_type == "baseline_ia":
+            masking_inputs_sweep(trainer, test_loader)
+        else:
+            missing_modality_sweep(trainer, valid_loader, test_loader,
+                                   specific=args.specific)
+    return trainer
+
+
+if __name__ == "__main__":
+    main()
