@@ -153,6 +153,9 @@ class ModelSpec:
     attn_mask: bool
     output_dim: int
     all_steps: bool = False
+    # attention implementation for eval-mode stacks: "xla" or "flash"
+    # (Pallas fused kernel, ops/attention_pallas.py)
+    attn_impl: str = "xla"
     # modality char -> projection-header kind (reference
     # src/dynamic_models2.py:141-146: 'i'/'A' -> CNN+RNN, 't' -> BERT+RNN,
     # else RNN).

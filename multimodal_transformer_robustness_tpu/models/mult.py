@@ -63,7 +63,8 @@ def _hp_stream(spec: ModelSpec, layers: int) -> EncoderHParams:
         embed_dim_in=spec.dimension, num_heads=spec.num_heads,
         head_dim=spec.head_dim, layers=layers,
         relu_dropout=spec.relu_dropout, res_dropout=spec.res_dropout,
-        embed_dropout=spec.embed_dropout, attn_mask=spec.attn_mask)
+        embed_dropout=spec.embed_dropout, attn_mask=spec.attn_mask,
+        attn_impl=spec.attn_impl)
 
 
 def _hp_top(spec: ModelSpec) -> EncoderHParams:
@@ -71,7 +72,8 @@ def _hp_top(spec: ModelSpec) -> EncoderHParams:
         embed_dim_in=spec.top_dim, num_heads=spec.num_heads,
         head_dim=spec.head_dim, layers=spec.layers_self_attn,
         relu_dropout=spec.relu_dropout, res_dropout=spec.res_dropout,
-        embed_dropout=spec.embed_dropout, attn_mask=spec.attn_mask)
+        embed_dropout=spec.embed_dropout, attn_mask=spec.attn_mask,
+        attn_impl=spec.attn_impl)
 
 
 def init_supernet(

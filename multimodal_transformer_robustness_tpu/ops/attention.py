@@ -79,6 +79,8 @@ def multihead_attention(
     attn_dropout: float = 0.0,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    impl: str = "xla",                  # "xla" | "flash" (Pallas kernel)
+    causal_offset: Optional[int] = None,  # flash path: future-mask offset
 ) -> jnp.ndarray:
     w_in = params["in_proj_w"]
     b_in = params["in_proj_b"]
@@ -94,6 +96,25 @@ def multihead_attention(
 
     active_dh = jnp.maximum(jnp.sum(head_dim_mask.astype(jnp.float32)), 1.0)
     q = q * jax.lax.rsqrt(active_dh)  # active_head_dim ** -0.5
+
+    if impl == "flash" and not train:
+        # fused Pallas path (eval/serving; see attention_pallas.py).  The
+        # dropout-free eval semantics are identical; attn_bias must be the
+        # structural future mask, expressed as its offset.
+        from .attention_pallas import flash_attention
+
+        attn = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            causal=causal_offset is not None,
+            offset=causal_offset if causal_offset is not None else 1,
+        ).transpose(0, 2, 1, 3)
+        out = jnp.einsum("bqhd,ehd->bqe", attn, params["out_w"],
+                         preferred_element_type=jnp.float32)
+        out = out + params["out_b"]
+        if channel_mask is not None:
+            out = out * channel_mask
+        return out.astype(query.dtype)
 
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     if attn_bias is not None:

@@ -62,6 +62,10 @@ class EncoderHParams:
     res_dropout: float = 0.0
     embed_dropout: float = 0.0
     attn_mask: bool = False
+    # "xla" (default) or "flash": route eval-mode attention through the
+    # fused Pallas kernel (ops/attention_pallas.py); training always uses
+    # the XLA path (exact dropout semantics + autodiff)
+    attn_impl: str = "xla"
 
 
 def _init_layer(rng: jax.Array, e_in: int, h: int, dh: int) -> dict:
@@ -106,6 +110,16 @@ def _layer_forward(
 ) -> jnp.ndarray:
     rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
     cm = m.channel_mask
+    impl = "flash" if (hp.attn_impl == "flash" and not train) else "xla"
+    kw = {}
+    if impl == "flash":
+        tq = x.shape[1]
+        tk = x_k.shape[1] if x_k is not None else tq
+        kw = {"impl": "flash",
+              "causal_offset": (1 + abs(tk - tq)) if hp.attn_mask else None,
+              "attn_bias": None}
+    else:
+        kw = {"attn_bias": attn_bias}
 
     residual = x
     h = masked_layer_norm(x, lp["ln0"]["g"], lp["ln0"]["b"], cm)
@@ -113,8 +127,8 @@ def _layer_forward(
         attn = multihead_attention(
             lp["attn"], h, h, h,
             head_mask=m.head_mask, head_dim_mask=m.head_dim_mask,
-            attn_bias=attn_bias, channel_mask=cm,
-            attn_dropout=attn_rate, train=train, rng=rngs[0])
+            channel_mask=cm,
+            attn_dropout=attn_rate, train=train, rng=rngs[0], **kw)
     else:
         # cross mode: channel masks are self-attn-only
         # (assert at dynamic_multihead_attention.py:79)
@@ -123,8 +137,8 @@ def _layer_forward(
         attn = multihead_attention(
             lp["attn"], h, k, v,
             head_mask=m.head_mask, head_dim_mask=m.head_dim_mask,
-            attn_bias=attn_bias, channel_mask=None,
-            attn_dropout=attn_rate, train=train, rng=rngs[0])
+            channel_mask=None,
+            attn_dropout=attn_rate, train=train, rng=rngs[0], **kw)
     x = residual + dropout(rngs[1], attn, hp.res_dropout, train)
 
     residual = x

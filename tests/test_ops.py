@@ -333,3 +333,33 @@ def _compact_encoder_forward(params, x, masks, full_e):
         y = masked_linear(y, lp["fc2"]["w"], lp["fc2"]["b"])
         h = res + y
     return masked_layer_norm(h, params["ln"]["g"], params["ln"]["b"])
+
+
+def test_flash_encoder_matches_xla(rng):
+    """The Pallas attention path must equal the XLA path in eval mode
+    (interpret-mode kernel on CPU)."""
+    import multimodal_transformer_robustness_tpu.ops.attention_pallas as ap
+    import functools
+    orig = ap.flash_attention
+    # run the kernel in interpreter mode on CPU
+    ap.flash_attention = functools.partial(orig, interpret=True)
+    try:
+        B, T, E, H, Dh, L = 2, 12, 16, 2, 8, 2
+        hp_x = EncoderHParams(embed_dim_in=E, num_heads=H, head_dim=Dh,
+                              layers=L, attn_mask=True, attn_impl="xla")
+        hp_f = EncoderHParams(embed_dim_in=E, num_heads=H, head_dim=Dh,
+                              layers=L, attn_mask=True, attn_impl="flash")
+        params = init_encoder(jax.random.PRNGKey(7), hp_x)
+        x = jnp.asarray(rng.standard_normal((B, T, E)), jnp.float32)
+        kv = jnp.asarray(rng.standard_normal((B, T + 5, E)), jnp.float32)
+        masks = EncoderMasks(
+            layer_gates=_prefix_mask(L, L), head_mask=_prefix_mask(H, 1),
+            head_dim_mask=_prefix_mask(Dh, 5),
+            ffn_mask=_prefix_mask(4 * H * Dh, 20), channel_mask=None)
+        for args in [(x,), (x, kv)]:
+            o_x = encoder_forward(params, *args, hp=hp_x, masks=masks)
+            o_f = encoder_forward(params, *args, hp=hp_f, masks=masks)
+            np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_x),
+                                       atol=2e-5)
+    finally:
+        ap.flash_attention = orig
