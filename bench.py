@@ -29,6 +29,10 @@ sys.path.insert(0, REPO)
 
 def main(batch_size=16, steps=30, warmup=2, bert_layers=4):
     import jax
+
+    from multimodal_transformer_robustness_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     import optax
 

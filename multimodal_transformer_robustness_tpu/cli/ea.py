@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     import jax
 
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .. import ModelSpec
     from ..checkpoint import (import_torch_state_dict, load_checkpoint,
                               load_reference_pickle)

@@ -87,6 +87,10 @@ EVAL_BATCH = {"mosei_senti": 16, "avmnist": 128 * 4, "mojupush": 128 * 4,
 def main(argv=None):
     import jax
 
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .. import ModelSpec
     from ..data import BatchIterator, get_data
     from ..checkpoint import save_checkpoint

@@ -116,6 +116,10 @@ class StreamingPredictor:
     def __init__(self, model_path=None, bert_dir=None, seed=0):
         import jax
 
+        from ..utils import enable_compilation_cache
+
+        enable_compilation_cache()
+
         from .. import ModelSpec, build_masks, full_active_config
         from ..models import init_supernet, supernet_apply
         from ..models.bert import BertConfig

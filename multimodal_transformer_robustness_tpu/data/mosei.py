@@ -42,7 +42,14 @@ class MoseiDataset:
             n_shards = min(n_shards, max_shards)
         for i in range(1, n_shards + 1):
             p = os.path.join(dataset_path, f"processed_data_{split_type}{i * 100}.pt")
-            records.extend(torch.load(p, map_location="cpu"))
+            if not os.path.exists(p):
+                # partial checkouts: stop at the first missing shard (the
+                # reference hardcodes the full ranges and would crash)
+                print(f"mosei: stopping at missing shard {p}")
+                break
+            # shards contain python lists/floats, not just tensors
+            # (reference record layout) — requires weights_only=False
+            records.extend(torch.load(p, map_location="cpu", weights_only=False))
 
         self.vision: List[np.ndarray] = []
         self.text: List[List[str]] = []
@@ -87,14 +94,20 @@ class MoseiDataset:
     def gather(self, idx: np.ndarray) -> Tuple[List[np.ndarray], np.ndarray]:
         b = len(idx)
         L = self.max_sent
-        text = np.zeros((3, b, L), np.int64)
         audio = np.zeros((b, self.max_seq, 768), np.float32)
         vision = np.zeros((b, self.max_seq, 512), np.float32)
+        sentences = [" ".join(self.text[i]) for i in idx]
+        if hasattr(self.tokenizer, "encode_batch"):
+            # native C++ batch path (data/tokenizer_native.py)
+            text = self.tokenizer.encode_batch(sentences, L)
+        else:
+            text = np.zeros((3, b, L), np.int64)
+            for k, s in enumerate(sentences):
+                enc = self.tokenizer.encode_plus(s, max_length=L)
+                text[0, k] = enc["input_ids"]
+                text[1, k] = enc["token_type_ids"]
+                text[2, k] = enc["attention_mask"]
         for k, i in enumerate(idx):
-            enc = self.tokenizer.encode_plus(" ".join(self.text[i]), max_length=L)
-            text[0, k] = enc["input_ids"]
-            text[1, k] = enc["token_type_ids"]
-            text[2, k] = enc["attention_mask"]
             a = self.audio[i][: self.max_seq]
             v = self.vision[i][: self.max_seq]
             audio[k, : a.shape[0]] = a

@@ -124,11 +124,19 @@ class HashTokenizer:
                 "attention_mask": attn}
 
 
-def load_tokenizer(bert_dir: Optional[str], vocab_size: int = 30522):
+def load_tokenizer(bert_dir: Optional[str], vocab_size: int = 30522,
+                   prefer_native: bool = True):
     if bert_dir:
         import os
 
         vocab = os.path.join(bert_dir, "vocab.txt")
         if os.path.exists(vocab):
+            if prefer_native:
+                from .tokenizer_native import NativeWordPieceTokenizer
+
+                tok = NativeWordPieceTokenizer(vocab)
+                if tok.native_available:
+                    return tok
+                return tok.fallback
             return WordPieceTokenizer(vocab)
     return HashTokenizer(vocab_size)

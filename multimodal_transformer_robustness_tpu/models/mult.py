@@ -81,13 +81,23 @@ def init_supernet(
     spec: ModelSpec,
     bert_cfg: Optional[bert_mod.BertConfig] = None,
     bert_dir: Optional[str] = None,
+    use_jit: bool = True,
 ) -> Tuple[SupernetParams, dict]:
     """Returns (trainable params, frozen params).
 
     ``frozen`` holds the BERT encoder weights when a text modality exists
     (the reference freezes BERT with torch.no_grad — dynamic_models2.py:50);
     they are jit arguments but excluded from the optimizer.
+
+    ``use_jit`` fuses the hundreds of per-parameter init ops into one
+    compiled program — on a remote-tunnel TPU backend, eager init pays a
+    round-trip per op (~50 s for the MOSEI supernet; ~2 s jitted).  Disabled
+    automatically when loading pretrained BERT from disk.
     """
+    if use_jit and bert_dir is None:
+        return jax.jit(
+            lambda key: init_supernet(key, spec, bert_cfg, None, use_jit=False)
+        )(rng)
     M = spec.modality_num
     n_cross = len(spec.cross_strings)
     n_keys = 1 + M + M + max(n_cross, 1) + M + max(n_cross, 1) + 1

@@ -122,11 +122,24 @@ class Trainer:
     loop.  ``initiate``-equivalent: construct with spec/params, call
     :meth:`fit`."""
 
+    #: torch.optim name -> optax factory (the reference resolves the --optim
+    #: flag with getattr(torch.optim, name), train.py:51)
+    OPTIMIZERS = {
+        "Adam": optax.adam,
+        "AdamW": optax.adamw,
+        "SGD": optax.sgd,
+        "RMSprop": optax.rmsprop,
+        "Adagrad": optax.adagrad,
+        "Adadelta": optax.adadelta,
+        "Adamax": optax.adamax,
+        "NAdam": optax.nadam,
+        "RAdam": optax.radam,
+    }
+
     def __init__(self, spec: ModelSpec, params, frozen: dict,
                  hp: TrainHParams, bert_cfg: Optional[BertConfig] = None):
-        assert hp.optim == "Adam", (
-            "reference uses torch.optim.<name>; Adam is the only shipped "
-            "config (run.sh) — extend here for others")
+        assert hp.optim in self.OPTIMIZERS, (
+            f"unknown optimizer {hp.optim!r}; known: {sorted(self.OPTIMIZERS)}")
         self.spec = spec
         self.hp = hp
         self.frozen = frozen
@@ -169,7 +182,7 @@ class Trainer:
     def _make_tx(self, learning_rate):
         return optax.chain(
             optax.clip_by_global_norm(self.hp.clip),
-            optax.adam(learning_rate),
+            self.OPTIMIZERS[self.hp.optim](learning_rate),
         )
 
     def _set_lr(self, lr: float) -> None:

@@ -28,14 +28,10 @@ from ..masks import build_masks, stack_masks
 from ..metrics import eval_mosei_senti
 
 
-def two_modality_candidates(m0: str, m1: str, n_mod: int,
-                            slot_of: Dict[str, int] = None) -> List[List[List[str]]]:
+def two_modality_candidates(m0: str, m1: str) -> List[Dict[str, List[str]]]:
     """The 13 hand-enumerated active_cross_output variants for a 2-modality
-    subset under random_sample (train.py:283-344), in order."""
-    def blank():
-        return [[] for _ in range(n_mod)]
-
-    out = []
+    subset under random_sample (train.py:283-344), in order, as
+    modality-char -> output-stream lists."""
     a, b = m0, m1
     combos = [
         {a: [a], b: [b]},                     # 1
@@ -76,7 +72,7 @@ def enumerate_subset_candidates(
     candidates: List[List[List[str]]] = []
     if len(active_modality) == 2 and experiment_type == "random_sample":
         char_map = {chars[0]: active_modality[0], chars[1]: active_modality[1]}
-        for combo in two_modality_candidates(chars[0], chars[1], M):
+        for combo in two_modality_candidates(chars[0], chars[1]):
             a = [[] for _ in range(M)]
             for ch, streams in combo.items():
                 a[char_map[ch]] = streams
