@@ -79,7 +79,8 @@ def main(batch_size=16, steps=30, warmup=2, bert_layers=4):
     host_rng = np.random.default_rng(0)
     pool = [[0], [1], [2], [0, 1], [0, 2], [1, 2], [0, 1, 2]]
     mask_stream = [
-        build_masks(spec, sample_train_config(spec, "random_sample", pool, host_rng))
+        jax.tree.map(jnp.asarray, build_masks(
+            spec, sample_train_config(spec, "random_sample", pool, host_rng)))
         for _ in range(steps + warmup)]
 
     key = jax.random.PRNGKey(0)

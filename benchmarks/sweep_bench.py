@@ -1,0 +1,153 @@
+"""Headline metric #2: wall-clock of the FULL missing-modality eval sweep.
+
+The reference runs, for every modality subset, a serial grid of full
+validation passes (train.py:250-405): for MOSEI run.sh (M=3, L_single=3,
+random_sample) that is 860 validation epochs — 3x20 single-modality +
+3x(20x13) two-modality + 20 three-modality (depth-combos x topologies).
+
+This benchmark measures, on the same model/data:
+  (a) our batched sweep (configs stacked + vmapped per data batch);
+  (b) a serial-config sweep using the same jitted eval step (what a naive
+      JAX port would do);
+and reports the reference-equivalent count of validation passes.  Results
+append to BENCH_NOTES.md.
+
+Run on the TPU: ``python benchmarks/sweep_bench.py [--rows 2048] [--dim 200]``
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows", type=int, default=1871,
+                   help="valid-set size (MOSEI valid ~1.9k rows)")
+    p.add_argument("--dim", type=int, default=200)
+    p.add_argument("--eval_batch", type=int, default=256)
+    p.add_argument("--cfg_chunk", type=int, default=32)
+    p.add_argument("--skip_serial", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from multimodal_transformer_robustness_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from multimodal_transformer_robustness_tpu import ModelSpec
+    from multimodal_transformer_robustness_tpu.data.loaders import ArrayDataset, BatchIterator
+    from multimodal_transformer_robustness_tpu.masks import build_masks
+    from multimodal_transformer_robustness_tpu.models import init_supernet
+    from multimodal_transformer_robustness_tpu.train import TrainHParams, Trainer
+    from multimodal_transformer_robustness_tpu.train import sweep as sweep_mod
+
+    # MOSEI run.sh architecture with RNN headers (text as a plain feature
+    # stream: BERT is a frozen feature extractor and identical on both sides;
+    # the sweep cost is the supernet, not the header)
+    spec = ModelSpec(
+        modality_set=("t", "a", "v"), orig_dimensions=(768, 768, 512),
+        dimension=args.dim, num_heads=8, head_dim=25, layers_single_attn=3,
+        layers_cross_attn=4, layers_self_attn=2,
+        attn_dropout=(0.1, 0.1, 0.0, 0.0), relu_dropout=0.1, res_dropout=0.3,
+        out_dropout=0.1, embed_dropout=0.3, attn_mask=True, output_dim=1,
+        header_overrides={"t": "rnn"})
+    params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
+
+    rng = np.random.default_rng(0)
+    T = 50
+    ds = ArrayDataset(
+        [rng.standard_normal((args.rows, T, d)).astype(np.float32)
+         for d in spec.orig_dimensions],
+        rng.standard_normal((args.rows, 1)).astype(np.float32),
+        dims=list(spec.orig_dimensions), seq_len=T)
+    valid = BatchIterator(ds, args.eval_batch)
+    test = BatchIterator(ds, args.eval_batch)
+
+    hp = TrainHParams(dataset="mosei_senti", criterion="L1Loss",
+                      experiment_type="random_sample")
+    trainer = Trainer(spec, params, frozen, hp)
+
+    # count the reference-equivalent validation passes
+    n_cfgs = 0
+    for subset in sweep_mod.subset_choices(spec, "random_sample"):
+        _, cands = sweep_mod.enumerate_subset_candidates(
+            spec, "random_sample", subset)
+        n_cfgs += len(sweep_mod.depth_combos(spec, "random_sample")) * len(cands)
+
+    # upload eval data once (resident-data serving scenario), warm compiles
+    dev_valid = sweep_mod.upload_eval_batches(BatchIterator(ds, args.eval_batch))
+    t0 = time.time()
+    _ = sweep_mod.missing_modality_sweep(
+        trainer, None, None, quiet=True, max_cfg_chunk=args.cfg_chunk,
+        device_batches=dev_valid, device_test=dev_valid)
+    warm = time.time() - t0
+    t0 = time.time()
+    res = sweep_mod.missing_modality_sweep(
+        trainer, None, None, quiet=True, max_cfg_chunk=args.cfg_chunk,
+        device_batches=dev_valid, device_test=dev_valid)
+    t_batched = time.time() - t0
+
+    t_serial = None
+    if not args.skip_serial:
+        # serial-config sweep: same grid, one config at a time through the
+        # single-config jitted eval (the reference's loop structure)
+        from multimodal_transformer_robustness_tpu.config import ActiveConfig
+
+        flags = jnp.ones((spec.modality_num,), jnp.float32)
+        dev_batches = [[jnp.asarray(x) for x in b.inputs]
+                       for b in BatchIterator(ds, args.eval_batch)]
+
+        def serial_pass():
+            for subset in sweep_mod.subset_choices(spec, "random_sample"):
+                active_cross, cands = sweep_mod.enumerate_subset_candidates(
+                    spec, "random_sample", subset)
+                for l in sweep_mod.depth_combos(spec, "random_sample"):
+                    for a in cands:
+                        cfg = ActiveConfig(
+                            active_modality=list(subset),
+                            active_cross=[list(x) for x in active_cross],
+                            active_cross_output=[list(x) for x in a],
+                            active_single_attn_layer_num=list(l),
+                            active_self_attn_layer_num=spec.layers_self_attn,
+                            active_hybrid_attn_layer_num=spec.layers_cross_attn,
+                            active_dimension=spec.dimension,
+                            active_head_num=spec.num_heads,
+                            active_head_dim=spec.head_dim)
+                        masks = build_masks(spec, cfg)
+                        for inputs in dev_batches:
+                            preds = trainer.eval_step(
+                                trainer.params, masks, inputs, flags)
+                        jax.block_until_ready(preds)
+
+        serial_pass()  # warm-up compile
+        t0 = time.time()
+        serial_pass()
+        t_serial = time.time() - t0
+
+    out = {
+        "metric": "mosei_missing_modality_sweep_wall_clock",
+        "configs_evaluated": n_cfgs,
+        "rows": args.rows,
+        "batched_sweep_s": round(t_batched, 2),
+        "batched_sweep_first_run_s": round(warm, 2),
+        "serial_jax_sweep_s": round(t_serial, 2) if t_serial else None,
+        "speedup_vs_serial_jax": round(t_serial / t_batched, 2) if t_serial else None,
+    }
+    print(json.dumps(out))
+    with open(os.path.join(REPO, "BENCH_NOTES.md"), "a") as f:
+        f.write(f"\n- sweep bench: {json.dumps(out)}\n")
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -72,16 +72,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the missing-modality sweep after training")
     p.add_argument("--max_shards", type=int, default=None,
                    help="cap MOSEI shard count (debug)")
+    # eeg2a extras (the reference's get_data exposes these kwargs but main.py
+    # never wires them — utils.py:51,66-69; additive fix)
+    p.add_argument("--eeg_train_ratio", type=float, default=0.8)
+    p.add_argument("--eeg_train_files", type=str, nargs="*", default=None)
+    p.add_argument("--eeg_test_files", type=str, nargs="*", default=None)
     return p
 
 
+# per-dataset tables (reference main.py:90-114) + additive entries for the
+# MultiBench datasets the reference never wired (MOSI, UR-FUNNY, sarcasm)
 OUTPUT_DIM = {"mosei_senti": 1, "avmnist": 10, "mojupush": 2, "enrico": 20,
-              "eeg2a": 4}
+              "eeg2a": 4, "mosi": 1, "urfunny": 2, "sarcasm": 2}
 CRITERION = {"mosei_senti": "L1Loss", "avmnist": "CrossEntropyLoss",
              "mojupush": "MSELoss", "enrico": "CrossEntropyLoss",
-             "eeg2a": "CrossEntropyLoss"}
+             "eeg2a": "CrossEntropyLoss", "mosi": "L1Loss",
+             "urfunny": "CrossEntropyLoss", "sarcasm": "CrossEntropyLoss"}
 EVAL_BATCH = {"mosei_senti": 16, "avmnist": 128 * 4, "mojupush": 128 * 4,
-              "enrico": 128 * 4, "eeg2a": 64}
+              "enrico": 128 * 4, "eeg2a": 64, "mosi": 64, "urfunny": 64,
+              "sarcasm": 64}
 
 
 def main(argv=None):
@@ -106,6 +115,10 @@ def main(argv=None):
     kw = {}
     if args.dataset == "mosei_senti":
         kw = {"bert_dir": args.bert_dir, "max_shards": args.max_shards}
+    elif args.dataset == "eeg2a":
+        kw = {"train_ratio": args.eeg_train_ratio,
+              "file_num_range_train": args.eeg_train_files,
+              "file_num_range_test": args.eeg_test_files}
     train_data = get_data(args.dataset, args.data_path, "train", **kw)
     valid_data = get_data(args.dataset, args.data_path, "valid", **kw)
     test_data = get_data(args.dataset, args.data_path, "test", **kw)

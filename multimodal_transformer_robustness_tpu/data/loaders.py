@@ -87,6 +87,14 @@ class BatchIterator:
         ds = self.dataset
         if hasattr(ds, "gather"):
             inputs, labels = ds.gather(idx)
+        elif (len(idx) > 1 and idx[0] + len(idx) - 1 == idx[-1]
+              and (np.diff(idx) == 1).all()):
+            # contiguous range (unshuffled eval): zero-copy views instead of
+            # fancy-index copies — gathering a 256-row MOSEI-sized batch
+            # measured 3.4 s/batch on this 1-core host via fancy indexing
+            sl = slice(int(idx[0]), int(idx[0]) + len(idx))
+            inputs = [x[sl] for x in ds.inputs]
+            labels = ds.labels[sl]
         else:
             inputs = [x[idx] for x in ds.inputs]
             labels = ds.labels[idx]
@@ -116,4 +124,12 @@ def get_data(dataset: str, data_path: str, split: str = "train", **kw):
         from .eeg import EEG2aDataset
 
         return EEG2aDataset(data_path, split_type=split, **kw)
+    if name in ("urfunny", "ur_funny", "mosi", "sarcasm", "mosei_aligned",
+                "humor"):
+        from .multibench import MultibenchDataset
+
+        # humor/sarcasm detection are binary-label tasks
+        kw.setdefault("binarize_labels", name in ("urfunny", "ur_funny",
+                                                  "sarcasm", "humor"))
+        return MultibenchDataset(data_path, split, **kw)
     raise NotImplementedError(f"{dataset} does not exist!")

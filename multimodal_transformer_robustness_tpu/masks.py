@@ -132,16 +132,21 @@ def build_masks(spec: ModelSpec, cfg: ActiveConfig, validate: bool = True) -> Su
             for s in cfg.active_cross_output[i]:
                 slot[i, index[s]] = 1.0
 
+    # leaves stay NUMPY: masks are built per configuration on the host, and
+    # host arrays cost one device transfer at jit-call time instead of one
+    # tiny transfer per leaf per config at build time (on a remote-tunnel
+    # TPU, per-op dispatch dominates — stacking 32 device-array mask pytrees
+    # measured 12 s vs ~0 for numpy)
     return SupernetMasks(
-        mems0_gates=jnp.asarray(mems0),
-        cross_gates=jnp.asarray(cross_g),
-        mems_gates=jnp.asarray(mems_g),
-        head_mask=jnp.asarray(head),
-        head_dim_mask=jnp.asarray(hdim),
-        ffn_mask=jnp.asarray(ffn),
-        cross_enable=jnp.asarray(cross_en),
-        slot_mask=jnp.asarray(slot),
-        branch_gate=jnp.asarray(branch),
+        mems0_gates=mems0,
+        cross_gates=cross_g,
+        mems_gates=mems_g,
+        head_mask=head,
+        head_dim_mask=hdim,
+        ffn_mask=ffn,
+        cross_enable=cross_en,
+        slot_mask=slot,
+        branch_gate=branch,
     )
 
 
@@ -149,7 +154,8 @@ def stack_masks(masks: "list[SupernetMasks]") -> SupernetMasks:
     """Stack a list of configurations along a new leading axis, producing the
     config axis that eval sweeps / EA fitness vmap over (SURVEY.md §5
     'distributed communication backend': the configuration axis is sharded
-    across devices instead of the reference's serial loops)."""
+    across devices instead of the reference's serial loops).  Host-side
+    np.stack; the single device transfer happens at dispatch."""
     import jax
 
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *masks)
+    return jax.tree.map(lambda *xs: np.stack(xs), *masks)

@@ -19,6 +19,7 @@ import copy
 import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,29 +91,39 @@ class EvolutionSearch:
         c.active_cross_output = copy.deepcopy(genome[1])
         return c
 
+    def _device_batches(self):
+        """Upload the validation set once; generations re-read it."""
+        if getattr(self, "_dev_batches", None) is None:
+            self._dev_batches = [
+                ([jnp.asarray(x) for x in b.inputs], b.valid > 0,
+                 np.asarray(b.labels)[b.valid > 0])
+                for b in self.valid_loader]
+        return self._dev_batches
+
     def eval_population(self, genomes: List[Genome]) -> np.ndarray:
-        """Batched fitness: one vmapped pass over all genomes."""
+        """Batched fitness: the whole generation stacks into one device
+        pytree and evaluates in ONE dispatch per data batch (device-side
+        lax.map chunking)."""
         tr = self.trainer
         masks = [build_masks(self.spec, self._cfg(g)) for g in genomes]
+        n_real = len(masks)
+        chunk = tr.cfg_chunk
+        if n_real % chunk and n_real > chunk:
+            masks = masks + [masks[-1]] * (chunk - n_real % chunk)
         M = self.spec.modality_num
         flags = jnp.ones((M,), jnp.float32)
-        accs = np.zeros((len(genomes),))
-        preds_by: List[List[np.ndarray]] = [[] for _ in genomes]
+        stacked = jax.tree.map(jnp.asarray, stack_masks(masks))
+        per_batch: List[np.ndarray] = []
         truths = []
-        for lo in range(0, len(masks), self.max_cfg_chunk):
-            chunk = stack_masks(masks[lo:lo + self.max_cfg_chunk])
-            for batch in self.valid_loader:
-                inputs = [jnp.asarray(x) for x in batch.inputs]
-                preds = tr.eval_step_batched(tr.params, chunk, inputs, flags)
-                keep = batch.valid > 0
-                p = np.asarray(preds)[:, keep]
-                for k in range(p.shape[0]):
-                    preds_by[lo + k].append(p[k])
-                if lo == 0:
-                    truths.append(np.asarray(batch.labels)[keep])
+        for inputs, keep, labels in self._device_batches():
+            preds = tr.eval_step_sweep(tr.params, stacked, inputs, flags)
+            per_batch.append(np.asarray(preds)[:, keep])
+            truths.append(labels)
         truth = np.concatenate(truths)
-        for k in range(len(genomes)):
-            accs[k] = tr._metric(np.concatenate(preds_by[k]), truth)
+        all_preds = np.concatenate(per_batch, axis=1)
+        accs = np.zeros((n_real,))
+        for k in range(n_real):
+            accs[k] = tr._metric(all_preds[k], truth)
         return accs
 
     def get_acc(self, genome: Genome) -> float:

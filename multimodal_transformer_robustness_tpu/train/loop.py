@@ -178,6 +178,17 @@ class Trainer:
         # full-validation passes, train.py:352-370)
         self.eval_step_batched = jax.jit(
             jax.vmap(eval_step, in_axes=(None, 0, None, None)))
+        # whole-grid eval: ALL stacked configs in ONE dispatch, chunked
+        # device-side by lax.map(batch_size=cfg_chunk) — on a remote-tunnel
+        # backend, per-chunk dispatch/transfer dominates otherwise
+        self.cfg_chunk = 32
+
+        def eval_step_sweep(params, stacked_masks, inputs, zero_flags):
+            return jax.lax.map(
+                lambda m: eval_step(params, m, inputs, zero_flags),
+                stacked_masks, batch_size=self.cfg_chunk)
+
+        self.eval_step_sweep = jax.jit(eval_step_sweep)
 
     def _make_tx(self, learning_rate):
         return optax.chain(
@@ -210,11 +221,14 @@ class Trainer:
             self.params, self.opt_state, loss = self.train_step(
                 self.params, self.opt_state, current_masks, inputs, labels,
                 valid, self._next_key())
-            # sample the NEXT batch's configuration (train.py:95-178)
+            # sample the NEXT batch's configuration (train.py:95-178);
+            # transfer the mask pytree to device once here (repeatedly
+            # passing host numpy leaves to jit measured pathological on the
+            # remote-tunnel backend)
             cfg = sample_train_config(
                 spec, hp.experiment_type, hp.modality_pool, self.rng,
                 all_module=hp.all_module, specific=hp.specific)
-            current_masks = build_masks(spec, cfg)
+            current_masks = jax.tree.map(jnp.asarray, build_masks(spec, cfg))
 
             bsz = int(np.sum(batch.valid))
             loss_f = float(loss)
@@ -242,6 +256,7 @@ class Trainer:
         for i in activate_modality:
             flags[i] = 1.0
         flags = jnp.asarray(flags)
+        masks = jax.tree.map(jnp.asarray, masks)
         preds_all, truth_all = [], []
         for batch in loader:
             inputs = [jnp.asarray(x) for x in batch.inputs]
@@ -255,9 +270,9 @@ class Trainer:
 
     def _metric(self, preds: np.ndarray, truths: np.ndarray) -> float:
         ds = self.hp.dataset
-        if ds in ("avmnist", "enrico", "eeg2a"):
+        if ds in ("avmnist", "enrico", "eeg2a", "urfunny", "sarcasm", "humor"):
             return multiclass_acc(preds.argmax(axis=-1), truths)
-        if ds == "mosei_senti":
+        if ds in ("mosei_senti", "mosi", "mosei_aligned"):
             return binary_acc(preds, truths, True)
         if ds == "mojupush":
             return -float(np.mean(np.square(preds - truths)))
@@ -271,7 +286,8 @@ class Trainer:
         plateau scheduling on 1-val_acc, best-val checkpoint, lr-floor stop."""
         hp, spec = self.hp, self.spec
         M = spec.modality_num
-        full_masks = build_masks(spec, full_active_config(spec))
+        full_masks = jax.tree.map(jnp.asarray,
+                                  build_masks(spec, full_active_config(spec)))
         current_masks = full_masks  # ctor default is the full MulT topology
         best_valid = -1e8
         t0 = time.time()

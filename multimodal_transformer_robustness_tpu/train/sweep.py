@@ -106,6 +106,13 @@ def subset_choices(spec: ModelSpec, experiment_type: str) -> List[Tuple[int, ...
     return out
 
 
+def upload_eval_batches(loader):
+    """Pre-upload a loader's batches to device for reuse across sweep calls
+    (returns the structure the sweep functions consume)."""
+    return [([jnp.asarray(x) for x in b.inputs], b.valid > 0,
+             np.asarray(b.labels)[b.valid > 0]) for b in loader]
+
+
 def missing_modality_sweep(
     trainer,
     valid_loader,
@@ -115,6 +122,8 @@ def missing_modality_sweep(
     cfg_shard_mesh=None,
     max_cfg_chunk: int = 64,
     quiet: bool = False,
+    device_batches=None,
+    device_test=None,
 ) -> Dict[Tuple[int, ...], Dict]:
     """Run the full sweep.  ``trainer`` is a :class:`..train.loop.Trainer`.
 
@@ -127,6 +136,25 @@ def missing_modality_sweep(
     hp = trainer.hp
     M = spec.modality_num
     results: Dict[Tuple[int, ...], Dict] = {}
+
+    # upload the validation AND test sets to device ONCE: every (subset,
+    # chunk) pair re-reads the same batches, and re-transferring them
+    # dominates wall-clock on a remote-tunnel TPU.  Callers running repeated
+    # sweeps pass pre-uploaded batches via upload_eval_batches().
+    if device_batches is None:
+        device_batches = upload_eval_batches(valid_loader)
+    if device_test is None:
+        device_test = upload_eval_batches(test_loader)
+    full_flags = jnp.ones((M,), jnp.float32)
+
+    def eval_single(masks_np, batches):
+        dev_masks = jax.tree.map(jnp.asarray, masks_np)
+        preds, labels = [], []
+        for inputs, keep, lab in batches:
+            p = trainer.eval_step(trainer.params, dev_masks, inputs, full_flags)
+            preds.append(np.asarray(p)[keep])
+            labels.append(lab)
+        return np.concatenate(preds), np.concatenate(labels)
 
     for subset in subset_choices(spec, hp.experiment_type):
         if not quiet:
@@ -151,33 +179,37 @@ def missing_modality_sweep(
                     active_head_num=spec.num_heads,
                     active_head_dim=spec.head_dim))
         mask_list = [build_masks(spec, c) for c in cfgs]
+        # pad the config list to a chunk multiple (repeating the last config)
+        # so the device-side lax.map chunking has ONE static shape
+        n_real = len(mask_list)
+        trainer.cfg_chunk = max_cfg_chunk  # read at trace time by
+        #                                     eval_step_sweep's lax.map
+        chunk = max_cfg_chunk
+        if n_real % chunk and n_real > chunk:
+            mask_list = mask_list + [mask_list[-1]] * (chunk - n_real % chunk)
 
         # evaluate ALL candidates on valid with full-modality zero-fill flags
         # (the reference zero-fills nothing here: activate_modality covers
-        # all — structural masking does the work, train.py:370)
-        flags = jnp.ones((M,), jnp.float32)
-        accs = np.zeros((len(cfgs),), np.float64)
-        preds_by_cfg: List[List[np.ndarray]] = [[] for _ in cfgs]
-        truths: List[np.ndarray] = []
-        for lo in range(0, len(mask_list), max_cfg_chunk):
-            chunk = stack_masks(mask_list[lo:lo + max_cfg_chunk])
-            if cfg_shard_mesh is not None:
-                from ..parallel.mesh import shard_cfg_axis
+        # all — structural masking does the work, train.py:370); the whole
+        # subset grid stacks into ONE device pytree and evaluates in ONE
+        # dispatch per data batch (lax.map chunks it device-side)
+        stacked = jax.tree.map(jnp.asarray, stack_masks(mask_list))
+        if cfg_shard_mesh is not None:
+            from ..parallel.mesh import shard_cfg_axis
 
-                chunk = shard_cfg_axis(chunk, cfg_shard_mesh)
-            for batch in valid_loader:
-                inputs = [jnp.asarray(x) for x in batch.inputs]
-                preds = trainer.eval_step_batched(
-                    trainer.params, chunk, inputs, flags)  # [n_cfg, B, ...]
-                keep = batch.valid > 0
-                p = np.asarray(preds)[:, keep]
-                for k in range(p.shape[0]):
-                    preds_by_cfg[lo + k].append(p[k])
-                if lo == 0:
-                    truths.append(np.asarray(batch.labels)[keep])
+            stacked = shard_cfg_axis(stacked, cfg_shard_mesh)
+        accs = np.zeros((n_real,), np.float64)
+        per_batch_preds: List[np.ndarray] = []
+        truths: List[np.ndarray] = []
+        for inputs, keep, labels in device_batches:
+            preds = trainer.eval_step_sweep(
+                trainer.params, stacked, inputs, full_flags)  # [n_cfg, B, ...]
+            per_batch_preds.append(np.asarray(preds)[:, keep])
+            truths.append(labels)
         truth = np.concatenate(truths)
-        for k in range(len(cfgs)):
-            accs[k] = trainer._metric(np.concatenate(preds_by_cfg[k]), truth)
+        all_preds = np.concatenate(per_batch_preds, axis=1)  # [n_cfg, N, ...]
+        for k in range(n_real):
+            accs[k] = trainer._metric(all_preds[k], truth)
 
         best = int(np.argmax(accs))
         best_cfg = cfgs[best]
@@ -187,8 +219,8 @@ def missing_modality_sweep(
                   best_cfg.active_cross_output,
                   "best validation accuracy: ", accs[best])
 
-        test_acc, test_preds, test_truths = trainer.evaluate(
-            test_loader, mask_list[best], list(range(M)))
+        test_preds, test_truths = eval_single(mask_list[best], device_test)
+        test_acc = trainer._metric(test_preds, test_truths)
         entry = {"best_cfg": best_cfg, "valid_acc": float(accs[best]),
                  "test_acc": float(test_acc)}
         if hp.dataset == "mosei_senti":

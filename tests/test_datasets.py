@@ -105,3 +105,30 @@ def test_noise_injectors():
     # zero noise level leaves visual data untouched
     clean = add_visual_noise(imgs, noise_level=0.0, rng=rng)
     np.testing.assert_array_equal(clean[0], imgs[0])
+
+
+def test_multibench_pickle_loader(tmp_path):
+    import pickle
+
+    rng = np.random.default_rng(0)
+
+    def split(n, t=12):
+        return {"vision": rng.standard_normal((n, t, 20)),
+                "audio": rng.standard_normal((n, t, 5)),
+                "text": rng.standard_normal((n, t, 300)),
+                "labels": rng.standard_normal((n, 1))}
+
+    data = {"train": split(10), "dev": split(4), "test": split(4)}
+    # inject NaNs like MultiBench covarep tracks
+    data["train"]["audio"][0, 0, 0] = np.nan
+    with open(tmp_path / "urfunny.pkl", "wb") as f:
+        pickle.dump(data, f)
+
+    ds = get_data("urfunny", str(tmp_path), "train")
+    assert len(ds) == 10
+    assert ds.get_dim() == [300, 5, 20]  # (text, audio, vision) order
+    assert np.isfinite(ds.inputs[1]).all()  # NaNs zeroed
+    assert ds.labels.dtype == np.int64  # binarized for humor detection
+    ds_v = get_data("mosi", str(tmp_path), "valid")  # 'dev' alias
+    assert len(ds_v) == 4
+    assert ds_v.labels.dtype == np.float32  # regression labels kept
