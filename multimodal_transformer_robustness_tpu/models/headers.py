@@ -74,6 +74,35 @@ def _cnn_apply(params: dict, x: jnp.ndarray, n_patches: int = 4) -> jnp.ndarray:
     return y.reshape(b, p * p, -1)
 
 
+def grouped_rnn_header_apply(rnn_params: list, xs: list) -> list:
+    """Run several RNN_Headers as ONE vmapped computation.
+
+    All inputs must share the sequence length; input widths may differ (they
+    zero-pad to the max, and the corresponding ``w_ih`` columns pad with
+    zeros — padded inputs are zero so the recurrence is unchanged).  Halving
+    the number of sequential GRU scans is a direct train-step win: scan
+    count, not FLOPs, dominates the recurrence and its backward pass.
+    """
+    n = len(xs)
+    if n == 1:
+        return [_rnn_header_apply(rnn_params[0], xs[0])]
+    in_max = max(x.shape[-1] for x in xs)
+    xs_p = jnp.stack([
+        jnp.pad(x, ((0, 0), (0, 0), (0, in_max - x.shape[-1]))) for x in xs])
+
+    def pad_gru1(p):
+        w = p["w_ih"]
+        return {**p, "w_ih": jnp.pad(w, ((0, 0), (0, in_max - w.shape[-1])))}
+
+    stacked = jax.tree.map(
+        lambda *leaves: jnp.stack(leaves),
+        *[{"gru1": {"fwd": pad_gru1(p["gru1"]["fwd"]),
+                    "bwd": pad_gru1(p["gru1"]["bwd"])},
+           "gru2": p["gru2"]} for p in rnn_params])
+    out = jax.vmap(_rnn_header_apply)(stacked, xs_p)   # [n, B, 1, d]
+    return [out[k] for k in range(n)]
+
+
 def init_header(rng: jax.Array, spec: ModelSpec, i: int,
                 bert_cfg: Optional[bert_mod.BertConfig] = None) -> dict:
     ch = spec.modality_set[i]

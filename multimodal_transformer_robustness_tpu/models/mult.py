@@ -171,11 +171,25 @@ def supernet_apply(
     k_head, k_m0, k_cr, k_top, k_out = jax.random.split(rng, 5)
 
     # ---- projection headers (all modalities, even inactive ones — reference
-    # dynamic_models2.py:224-229 runs proj + mems0 unconditionally) ----------
-    proj_x = []
+    # dynamic_models2.py:224-229 runs proj + mems0 unconditionally).
+    # Plain-RNN headers whose inputs share a sequence length run as ONE
+    # vmapped group (fewer sequential GRU scans).
+    proj_x: List[Optional[jnp.ndarray]] = [None] * M
+    rnn_groups: dict = {}
     for i in range(M):
         kind = spec.header_kind(spec.modality_set[i])
-        proj_x.append(header_apply(kind, params.proj[i], inputs[i], frozen, bert_cfg))
+        if kind == "rnn":
+            rnn_groups.setdefault(inputs[i].shape[1], []).append(i)
+        else:
+            proj_x[i] = header_apply(kind, params.proj[i], inputs[i], frozen,
+                                     bert_cfg)
+    from .headers import grouped_rnn_header_apply
+
+    for _, idxs in rnn_groups.items():
+        outs = grouped_rnn_header_apply(
+            [params.proj[i]["rnn"] for i in idxs], [inputs[i] for i in idxs])
+        for i, o in zip(idxs, outs):
+            proj_x[i] = o
     base = jnp.stack(proj_x)  # [M, B, T, d] (T == 1 with RNN headers)
 
     # ---- per-modality self-attention stacks, one vmapped batch -------------

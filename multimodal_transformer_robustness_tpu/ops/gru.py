@@ -39,6 +39,10 @@ def init_gru(rng: jax.Array, input_dim: int, hidden_dim: int) -> dict:
     }
 
 
+_SCAN_UNROLL = 8  # amortizes per-step scan overhead (and its transpose in
+#                   the backward pass, which dominates the training step)
+
+
 def gru_forward(params: dict, x: jnp.ndarray, reverse: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x: [B, T, in].  Returns (outputs [B, T, H], final hidden [B, H]).
 
@@ -63,7 +67,8 @@ def gru_forward(params: dict, x: jnp.ndarray, reverse: bool = False) -> Tuple[jn
         return h_new, h_new
 
     h0 = jnp.zeros((x.shape[0], h_dim), x.dtype)
-    h_final, outs = jax.lax.scan(cell, h0, gi, reverse=reverse)
+    h_final, outs = jax.lax.scan(cell, h0, gi, reverse=reverse,
+                                 unroll=_SCAN_UNROLL)
     return jnp.moveaxis(outs, 0, 1), h_final
 
 
@@ -81,7 +86,43 @@ def bigru_forward(params: dict, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
 
     The final hidden concatenates forward-final (after t=T-1) and
     backward-final (after t=0), matching ``torch.cat((h[0], h[1]), dim=1)``
-    in the reference RNN_Header (src/dynamic_models2.py:38)."""
-    out_f, h_f = gru_forward(params["fwd"], x, reverse=False)
-    out_b, h_b = gru_forward(params["bwd"], x, reverse=True)
-    return jnp.concatenate([out_f, out_b], axis=-1), jnp.concatenate([h_f, h_b], axis=-1)
+    in the reference RNN_Header (src/dynamic_models2.py:38).
+
+    Both directions run in ONE scan: the backward direction is the forward
+    recurrence on the time-flipped sequence, so fwd/bwd stack on the batch
+    axis (halves the number of sequential scans — scan count, not FLOPs,
+    dominates the tiny-step recurrence and especially its backward pass)."""
+    b = x.shape[0]
+    p2 = jax.tree.map(lambda a, c: jnp.stack([a, c]), params["fwd"], params["bwd"])
+    h_dim = params["fwd"]["w_hh"].shape[1]
+
+    # per-direction input projections, then merge on the batch axis
+    gi_f = jnp.einsum("bti,gi->btg", x, params["fwd"]["w_ih"]) + params["fwd"]["b_ih"]
+    gi_b = jnp.einsum("bti,gi->btg", x[:, ::-1], params["bwd"]["w_ih"]) + params["bwd"]["b_ih"]
+    gi = jnp.concatenate([gi_f, gi_b], axis=0)          # [2B, T, 3H]
+    gi = jnp.moveaxis(gi, 1, 0)                          # [T, 2B, 3H]
+    w_hh = jnp.concatenate([jnp.broadcast_to(params["fwd"]["w_hh"], (1, 3 * h_dim, h_dim)),
+                            jnp.broadcast_to(params["bwd"]["w_hh"], (1, 3 * h_dim, h_dim))])
+    b_hh = jnp.stack([params["fwd"]["b_hh"], params["bwd"]["b_hh"]])
+
+    def cell(h, gi_t):
+        # h: [2B, H]; per-direction recurrent matmul via batched dot
+        h2 = h.reshape(2, b, h_dim)
+        gh = jnp.einsum("dbh,dgh->dbg", h2, w_hh) + b_hh[:, None, :]
+        gh = gh.reshape(2 * b, 3 * h_dim)
+        i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h0 = jnp.zeros((2 * b, h_dim), x.dtype)
+    h_final, outs = jax.lax.scan(cell, h0, gi, unroll=_SCAN_UNROLL)
+    outs = jnp.moveaxis(outs, 0, 1)                      # [2B, T, H]
+    out_f, out_b = outs[:b], outs[b:, ::-1]              # un-flip backward
+    h_f, h_b = h_final[:b], h_final[b:]
+    del p2
+    return (jnp.concatenate([out_f, out_b], axis=-1),
+            jnp.concatenate([h_f, h_b], axis=-1))
