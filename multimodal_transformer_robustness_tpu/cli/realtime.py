@@ -19,7 +19,6 @@ TPU serving design:
 from __future__ import annotations
 
 import argparse
-import functools
 import time
 
 import numpy as np

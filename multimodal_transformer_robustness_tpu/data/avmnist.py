@@ -10,7 +10,6 @@ Format and preprocessing mirror reference src/dataset.py:204-255:
 from __future__ import annotations
 
 import os
-from typing import List
 
 import numpy as np
 

@@ -11,7 +11,7 @@ the (x, y) object state per step (all_steps task, main.py:139-140).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

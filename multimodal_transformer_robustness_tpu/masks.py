@@ -15,8 +15,6 @@ embedding need mask-aware statistics (see ops/layernorm.py, ops/positional.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 from jax.tree_util import register_dataclass

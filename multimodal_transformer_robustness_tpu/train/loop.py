@@ -23,14 +23,14 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import ActiveConfig, ModelSpec, full_active_config
+from ..config import ModelSpec, full_active_config
 from ..masks import SupernetMasks, build_masks
 from ..metrics import binary_acc, multiclass_acc
 from ..models import supernet_apply

@@ -155,3 +155,39 @@ def test_invalid_config_rejected():
     cfg.active_cross_output = [["tav"], ["a"], ["v"]]  # 'tav' not produced
     with pytest.raises(AssertionError):
         build_masks(spec, cfg)
+
+
+def test_two_modality_candidate_enumeration_exact():
+    """The 13 hand-enumerated sweep candidates (reference train.py:283-344)."""
+    from multimodal_transformer_robustness_tpu.train.sweep import (
+        enumerate_subset_candidates,
+    )
+
+    spec = make_spec("tav")
+    active_cross, cands = enumerate_subset_candidates(
+        spec, "random_sample", (0, 1))
+    assert active_cross == [["ta"], ["at"], []]
+    expect = [
+        [["t"], ["a"], []],
+        [["t", "ta"], [], []],
+        [[], ["a", "at"], []],
+        [["ta"], ["a"], []],
+        [["t"], ["at"], []],
+        [["ta"], [], []],
+        [[], ["at"], []],
+        [["ta"], ["at"], []],
+        [["t", "ta"], ["at"], []],
+        [["ta"], ["a", "at"], []],
+        [["t", "ta"], ["a", "at"], []],
+        [[], ["at"], []],       # 12 (reference duplicate)
+        [["ta"], [], []],       # 13 (reference duplicate)
+    ]
+    assert cands == expect
+    # subset (0, 2): chars t, v
+    ac2, cands2 = enumerate_subset_candidates(spec, "random_sample", (0, 2))
+    assert ac2 == [["tv"], [], ["vt"]]
+    assert len(cands2) == 13
+    # 3-modality subset: single canonical candidate
+    ac3, cands3 = enumerate_subset_candidates(spec, "random_sample", (0, 1, 2))
+    assert len(cands3) == 1
+    assert cands3[0] == [["ta", "tv"], ["at", "av"], ["vt", "va"]]
