@@ -63,8 +63,10 @@ def main(batch_size=16, steps=30, warmup=2, bert_layers=4):
     opt_state = tx.init(params)
     valid = jnp.ones((B,), jnp.float32)
 
+    # frozen/inputs/labels are explicit jit args: closure arrays embed as
+    # HLO constants and inflate the remote-compile request
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, masks, key):
+    def train_step(params, opt_state, frozen, inputs, labels, masks, key):
         def loss_fn(p):
             preds = supernet_apply(spec, p, masks, inputs, frozen=frozen,
                                    bert_cfg=bert_cfg, train=True, rng=key)
@@ -86,13 +88,15 @@ def main(batch_size=16, steps=30, warmup=2, bert_layers=4):
     key = jax.random.PRNGKey(0)
     for i in range(warmup):
         key, k = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, mask_stream[i], k)
+        params, opt_state, loss = train_step(
+            params, opt_state, frozen, inputs, labels, mask_stream[i], k)
     jax.block_until_ready(loss)
     t0 = time.time()
     for i in range(steps):
         key, k = jax.random.split(key)
         params, opt_state, loss = train_step(
-            params, opt_state, mask_stream[warmup + i], k)
+            params, opt_state, frozen, inputs, labels,
+            mask_stream[warmup + i], k)
     jax.block_until_ready(loss)
     dt = (time.time() - t0) / steps
 

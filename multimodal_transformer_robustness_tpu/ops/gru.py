@@ -39,8 +39,11 @@ def init_gru(rng: jax.Array, input_dim: int, hidden_dim: int) -> dict:
     }
 
 
-_SCAN_UNROLL = 8  # amortizes per-step scan overhead (and its transpose in
-#                   the backward pass, which dominates the training step)
+_SCAN_UNROLL = 4  # amortizes per-step scan overhead (and its transpose in
+#                   the backward pass, which dominates the training step).
+#                   8 was faster still, but the unrolled program crossed the
+#                   axon compile tunnel's request-size limit (HTTP 413) for
+#                   full train-step graphs; 4 keeps most of the win.
 
 
 def gru_forward(params: dict, x: jnp.ndarray, reverse: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -155,9 +155,15 @@ class Trainer:
 
         spec_apply = functools.partial(supernet_apply, spec)
 
-        def train_step(params, opt_state, masks, inputs, labels, valid, key):
+        # NOTE: ``frozen`` is an explicit jit ARGUMENT everywhere.  Arrays
+        # captured by closure are embedded in the HLO as literal constants
+        # (measured: a 12 MB closure array becomes 25 MB of HLO text) — with
+        # frozen BERT weights that blows past the remote compile service's
+        # request-size limit (HTTP 413) and slows every compile.
+        def train_step(params, opt_state, frozen, masks, inputs, labels,
+                       valid, key):
             def loss_fn(p):
-                preds = spec_apply(p, masks, inputs, frozen=self.frozen,
+                preds = spec_apply(p, masks, inputs, frozen=frozen,
                                    bert_cfg=self.bert_cfg, train=True, rng=key)
                 return self.criterion(preds, labels, valid)
 
@@ -166,29 +172,46 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        def eval_step(params, masks, inputs, zero_flags):
+        def eval_step(params, frozen, masks, inputs, zero_flags):
             return spec_apply(params, masks, _zero_fill(list(inputs), zero_flags),
-                              frozen=self.frozen, bert_cfg=self.bert_cfg,
+                              frozen=frozen, bert_cfg=self.bert_cfg,
                               train=False)
 
-        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
-        self.eval_step = jax.jit(eval_step)
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step)
         # config-batched eval: vmap over a stacked mask pytree — the
         # robustness sweep / EA fitness axis (replaces the reference's serial
         # full-validation passes, train.py:352-370)
-        self.eval_step_batched = jax.jit(
-            jax.vmap(eval_step, in_axes=(None, 0, None, None)))
+        self._eval_step_batched = jax.jit(
+            jax.vmap(eval_step, in_axes=(None, None, 0, None, None)))
         # whole-grid eval: ALL stacked configs in ONE dispatch, chunked
         # device-side by lax.map(batch_size=cfg_chunk) — on a remote-tunnel
         # backend, per-chunk dispatch/transfer dominates otherwise
         self.cfg_chunk = 32
 
-        def eval_step_sweep(params, stacked_masks, inputs, zero_flags):
+        def eval_step_sweep(params, frozen, stacked_masks, inputs, zero_flags):
             return jax.lax.map(
-                lambda m: eval_step(params, m, inputs, zero_flags),
+                lambda m: eval_step(params, frozen, m, inputs, zero_flags),
                 stacked_masks, batch_size=self.cfg_chunk)
 
-        self.eval_step_sweep = jax.jit(eval_step_sweep)
+        self._eval_step_sweep = jax.jit(eval_step_sweep)
+
+    # public step wrappers keep the (params, masks, inputs, flags) call
+    # surface; frozen is threaded explicitly underneath
+    def train_step(self, params, opt_state, masks, inputs, labels, valid, key):
+        return self._train_step(params, opt_state, self.frozen, masks, inputs,
+                                labels, valid, key)
+
+    def eval_step(self, params, masks, inputs, zero_flags):
+        return self._eval_step(params, self.frozen, masks, inputs, zero_flags)
+
+    def eval_step_batched(self, params, stacked_masks, inputs, zero_flags):
+        return self._eval_step_batched(params, self.frozen, stacked_masks,
+                                       inputs, zero_flags)
+
+    def eval_step_sweep(self, params, stacked_masks, inputs, zero_flags):
+        return self._eval_step_sweep(params, self.frozen, stacked_masks,
+                                     inputs, zero_flags)
 
     def _make_tx(self, learning_rate):
         return optax.chain(
