@@ -97,3 +97,39 @@ def test_fit_one_epoch(setup):
         save_fn=lambda p, e, v: saved.append(e))
     assert len(curve) >= 1
     assert saved, "best-val checkpoint hook never fired"
+
+
+def test_sweep_batched_equals_serial_eval(setup):
+    """The lax.map whole-grid eval must produce the same predictions as the
+    single-config eval step, config by config."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_transformer_robustness_tpu import (
+        ActiveConfig, build_masks, gen_active_cross)
+    from multimodal_transformer_robustness_tpu.masks import stack_masks
+
+    spec, trainer, _, valid_ds, _ = setup
+    rng = np.random.default_rng(3)
+    cfgs = []
+    for _ in range(5):
+        am = [[0], [1], [0, 1]][rng.integers(0, 3)]
+        ac, aco = gen_active_cross(spec, am, rng=rng)
+        cfgs.append(ActiveConfig(
+            active_modality=am, active_cross=ac, active_cross_output=aco,
+            active_single_attn_layer_num=list(rng.integers(0, 2, size=2)),
+            active_self_attn_layer_num=1, active_hybrid_attn_layer_num=1,
+            active_dimension=8, active_head_num=2, active_head_dim=4))
+    masks_list = [build_masks(spec, c) for c in cfgs]
+    batch = next(iter(BatchIterator(valid_ds, 16)))
+    inputs = [jnp.asarray(x) for x in batch.inputs]
+    flags = jnp.ones((2,), jnp.float32)
+
+    trainer.cfg_chunk = 2  # exercise the device-side chunking with remainder
+    stacked = jax.tree.map(jnp.asarray, stack_masks(masks_list))
+    batched = np.asarray(trainer.eval_step_sweep(
+        trainer.params, stacked, inputs, flags))
+    for k, m in enumerate(masks_list):
+        single = np.asarray(trainer.eval_step(
+            trainer.params, jax.tree.map(jnp.asarray, m), inputs, flags))
+        np.testing.assert_allclose(batched[k], single, atol=2e-5)
