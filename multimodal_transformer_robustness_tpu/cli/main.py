@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cap MOSEI shard count (debug)")
     # eeg2a extras (the reference's get_data exposes these kwargs but main.py
     # never wires them — utils.py:51,66-69; additive fix)
+    p.add_argument("--attn_impl", choices=["xla", "flash"], default="xla",
+                   help="eval-mode attention implementation; 'flash' routes "
+                        "through the fused Pallas kernel")
     p.add_argument("--eeg_train_ratio", type=float, default=0.8)
     p.add_argument("--eeg_train_files", type=str, nargs="*", default=None)
     p.add_argument("--eeg_test_files", type=str, nargs="*", default=None)
@@ -136,7 +139,8 @@ def main(argv=None):
         attn_dropout=tuple(args.attn_dropout), relu_dropout=args.relu_dropout,
         res_dropout=args.res_dropout, out_dropout=args.out_dropout,
         embed_dropout=args.embed_dropout, attn_mask=args.attn_mask,
-        output_dim=OUTPUT_DIM[args.dataset], all_steps=all_steps)
+        output_dim=OUTPUT_DIM[args.dataset], all_steps=all_steps,
+        attn_impl=args.attn_impl)
 
     print("orig_d:", orig_d)
     print("attn_dropout:", list(spec.attn_dropout))

@@ -112,7 +112,8 @@ def precomputed_extractors(face_npy: str, audio_npy: str, transcript: str):
 class StreamingPredictor:
     """Owns the jitted bucketed forward; reusable across clips."""
 
-    def __init__(self, model_path=None, bert_dir=None, seed=0):
+    def __init__(self, model_path=None, bert_dir=None, seed=0,
+                 attn_impl: str = "xla"):
         import jax
 
         from ..utils import enable_compilation_cache
@@ -130,7 +131,7 @@ class StreamingPredictor:
             layers_cross_attn=4, layers_self_attn=2,
             attn_dropout=(0.1, 0.1, 0.0, 0.0), relu_dropout=0.1,
             res_dropout=0.3, out_dropout=0.1, embed_dropout=0.3,
-            attn_mask=True, output_dim=1)
+            attn_mask=True, output_dim=1, attn_impl=attn_impl)
         bert_cfg = None if bert_dir else BertConfig(num_layers=4)
         self.params, self.frozen = init_supernet(
             jax.random.PRNGKey(seed), self.spec, bert_cfg=bert_cfg,
@@ -188,6 +189,7 @@ def main(argv=None):
     p.add_argument("--transcript", type=str, default="")
     p.add_argument("--repeat", type=int, default=1,
                    help="re-run the clip to show warm-path latency")
+    p.add_argument("--attn_impl", choices=["xla", "flash"], default="xla")
     args = p.parse_args(argv)
 
     if args.features == "torch":
@@ -198,7 +200,8 @@ def main(argv=None):
     else:
         face_fn, audio_fn = synthetic_extractors()
 
-    predictor = StreamingPredictor(args.model_path, args.bert_dir)
+    predictor = StreamingPredictor(args.model_path, args.bert_dir,
+                                   attn_impl=args.attn_impl)
 
     for it in range(args.repeat):
         t0 = time.time()
