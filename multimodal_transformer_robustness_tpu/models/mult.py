@@ -58,13 +58,19 @@ def _stack_trees(trees: Sequence[dict]) -> dict:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
+def _flash_train_ok(spec: ModelSpec) -> bool:
+    # the kernel has no in-softmax dropout; only use it for training when
+    # every stack's attention dropout is zero
+    return all(r == 0.0 for r in spec.attn_dropout)
+
+
 def _hp_stream(spec: ModelSpec, layers: int) -> EncoderHParams:
     return EncoderHParams(
         embed_dim_in=spec.dimension, num_heads=spec.num_heads,
         head_dim=spec.head_dim, layers=layers,
         relu_dropout=spec.relu_dropout, res_dropout=spec.res_dropout,
         embed_dropout=spec.embed_dropout, attn_mask=spec.attn_mask,
-        attn_impl=spec.attn_impl)
+        attn_impl=spec.attn_impl, flash_train=_flash_train_ok(spec))
 
 
 def _hp_top(spec: ModelSpec) -> EncoderHParams:
@@ -73,7 +79,7 @@ def _hp_top(spec: ModelSpec) -> EncoderHParams:
         head_dim=spec.head_dim, layers=spec.layers_self_attn,
         relu_dropout=spec.relu_dropout, res_dropout=spec.res_dropout,
         embed_dropout=spec.embed_dropout, attn_mask=spec.attn_mask,
-        attn_impl=spec.attn_impl)
+        attn_impl=spec.attn_impl, flash_train=_flash_train_ok(spec))
 
 
 def init_supernet(

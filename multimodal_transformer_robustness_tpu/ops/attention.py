@@ -97,10 +97,11 @@ def multihead_attention(
     active_dh = jnp.maximum(jnp.sum(head_dim_mask.astype(jnp.float32)), 1.0)
     q = q * jax.lax.rsqrt(active_dh)  # active_head_dim ** -0.5
 
-    if impl == "flash" and not train:
-        # fused Pallas path (eval/serving; see attention_pallas.py).  The
-        # dropout-free eval semantics are identical; attn_bias must be the
-        # structural future mask, expressed as its offset.
+    if impl == "flash":
+        # fused Pallas path (see attention_pallas.py; differentiable via the
+        # custom VJP in attention_pallas_bwd.py).  No in-softmax dropout:
+        # callers route here in training only when attention dropout is 0.
+        # attn_bias must be the structural future mask, expressed as offset.
         from .attention_pallas import flash_attention
 
         attn = flash_attention(

@@ -40,8 +40,9 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                  blk_q: int, blk_k: int, tk: int, causal: bool, offset: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
+                  l_ref, *, blk_q: int, blk_k: int, tk: int, causal: bool,
+                  offset: int):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -91,26 +92,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 
     @pl.when(ki == n_k - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
-                    ).astype(o_ref.dtype)
+        l_safe = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        # log-sum-exp residual for the backward pass
+        lse_ref[0, 0] = (m_ref[:, 0] + jnp.log(l_safe[:, 0]))
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "offset", "blk_q",
                                              "blk_k", "interpret"))
-def flash_attention(
-    q: jnp.ndarray,             # [B, H, Tq, D] — PRE-SCALED
-    k: jnp.ndarray,             # [B, H, Tk, D]
-    v: jnp.ndarray,             # [B, H, Tk, D]
-    causal: bool = True,
-    offset: int | None = None,  # defaults to 1 + |Tk - Tq| (reference rule)
-    blk_q: int = 256,
-    blk_k: int = 512,
-    interpret: bool = False,
-) -> jnp.ndarray:
+def _flash_fwd_impl(q, k, v, causal, offset, blk_q, blk_k, interpret):
+    """Returns (out [B,H,Tq,D], lse [B*H, Tq_pad])."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
-    if offset is None:
-        offset = 1 + abs(tk - tq)
 
     blk_q = min(blk_q, max(8, 1 << (tq - 1).bit_length()))
     blk_k = min(blk_k, max(128, 1 << (tk - 1).bit_length()))
@@ -138,7 +131,7 @@ def flash_attention(
             return (i, ki, 0)
 
     grid = (b * h, tq_pad // blk_q, n_k)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, blk_q=blk_q, blk_k=blk_k, tk=tk,
                           causal=causal, offset=offset),
         grid=grid,
@@ -148,9 +141,16 @@ def flash_attention(
             pl.BlockSpec((1, blk_k, d_pad), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk_k, d_pad), kv_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, blk_q, d_pad), lambda i, qi, ki: (i, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d_pad), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, blk_q, d_pad), lambda i, qi, ki: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            # lse layout [bh, 1, tq_pad]: keeps every block shape legal
+            # under the TPU (8, 128) tiling rules for all blk_q values
+            pl.BlockSpec((1, 1, blk_q), lambda i, qi, ki: (i, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b * h, tq_pad, d_pad), q.dtype),
+                   jax.ShapeDtypeStruct((b * h, 1, tq_pad), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((blk_q, d_pad), jnp.float32),   # acc
             pltpu.VMEM((blk_q, 128), jnp.float32),     # running max
@@ -160,4 +160,42 @@ def flash_attention(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(qp, kp, vp)
-    return out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d]
+    return out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d], lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, causal, offset, blk_q, blk_k, interpret):
+    return _flash_fwd_impl(q, k, v, causal, offset, blk_q, blk_k, interpret)[0]
+
+
+def _flash_vjp_fwd(q, k, v, causal, offset, blk_q, blk_k, interpret):
+    out, lse = _flash_fwd_impl(q, k, v, causal, offset, blk_q, blk_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_vjp_bwd(causal, offset, blk_q, blk_k, interpret, res, do):
+    from .attention_pallas_bwd import flash_attention_bwd
+
+    q, k, v, out, lse = res
+    return flash_attention_bwd(q, k, v, out, lse, do, causal, offset, blk_q,
+                               blk_k, interpret)
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,             # [B, H, Tq, D] — PRE-SCALED
+    k: jnp.ndarray,             # [B, H, Tk, D]
+    v: jnp.ndarray,             # [B, H, Tk, D]
+    causal: bool = True,
+    offset: int | None = None,  # defaults to 1 + |Tk - Tq| (reference rule)
+    blk_q: int = 256,
+    blk_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused attention (custom VJP; see
+    attention_pallas_bwd.py for the backward kernels)."""
+    if offset is None:
+        offset = 1 + abs(k.shape[2] - q.shape[2])
+    return _flash(q, k, v, causal, offset, blk_q, blk_k, interpret)

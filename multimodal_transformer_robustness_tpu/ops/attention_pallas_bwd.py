@@ -1,0 +1,227 @@
+"""Backward pass for the fused Pallas flash attention (custom VJP).
+
+Standard flash backward with blockwise recomputation from the forward's
+log-sum-exp: ``p = exp(s - lse)``, ``dV += p^T dO``, ``dP = dO V^T``,
+``dS = p (dP - delta)`` with ``delta = rowsum(dO * O)``, ``dQ += dS K``,
+``dK += dS^T Q``.  Two kernels: dq iterates key blocks per query block;
+dk/dv iterates query blocks per key block.  The reference future-mask rule
+(col - row >= offset masks) is regenerated in-kernel; fully-masked blocks
+skip compute via ``@pl.when`` and collapse their DMAs via index-map clamping.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _masked_p(q, k_blk, lse_col, qi, ki, blk_q, blk_k, tq, tk, causal, offset):
+    """Recompute the probability block with masking; exponent is computed
+    only where the mask holds (padded-q rows included in the mask so no
+    inf*0 NaNs can leak into the accumulators)."""
+    s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    row_ids = qi * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
+    col_ids = ki * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
+    mask = jnp.logical_and(col_ids < tk, row_ids < tq)
+    if causal:
+        mask = jnp.logical_and(mask, col_ids - row_ids < offset)
+    return jnp.exp(jnp.where(mask, s - lse_col, NEG_INF))
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               acc_ref, *, blk_q, blk_k, tq, tk, causal, offset):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    needed = ki * blk_k < (qi + 1) * blk_q - 1 + offset if causal else ki >= 0
+
+    @pl.when(needed)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse_col = lse_ref[0, 0][:, None]
+        p = _masked_p(q, k, lse_col, qi, ki, blk_q, blk_k, tq, tk, causal,
+                      offset)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        ds = p * (dp - delta_ref[0, 0][:, None])
+        acc_ref[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(ki == n_k - 1)
+    def _finalize():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *, blk_q, blk_k, tq, tk,
+                causal, offset):
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    # this q block contributes iff its LAST row can see the k block's first
+    # column: (qi+1)*blk_q - 1 + offset > ki*blk_k
+    needed = (qi + 1) * blk_q - 1 + offset > ki * blk_k if causal else qi >= 0
+
+    @pl.when(needed)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse_col = lse_ref[0, 0][:, None]
+        p = _masked_p(q, k, lse_col, qi, ki, blk_q, blk_k, tq, tk, causal,
+                      offset)
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        ds = p * (dp - delta_ref[0, 0][:, None])
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(qi == n_q - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "offset", "blk_q",
+                                             "blk_k", "interpret"))
+def flash_attention_bwd(q, k, v, out, lse, do, causal, offset, blk_q, blk_k,
+                        interpret):
+    """Returns (dq, dk, dv).  q is the PRE-SCALED query (as in the forward);
+    lse is [B, H, Tq_pad] from the forward."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    blk_q = min(blk_q, max(8, 1 << (tq - 1).bit_length()))
+    blk_k = min(blk_k, max(128, 1 << (tk - 1).bit_length()))
+    d_pad = _cdiv(d, 128) * 128
+    tq_pad = _cdiv(tq, blk_q) * blk_q
+    tk_pad = _cdiv(tk, blk_k) * blk_k
+    n_q = tq_pad // blk_q
+    n_k = tk_pad // blk_k
+
+    def pad(x, t_pad):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - x.shape[2]),
+                           (0, d_pad - x.shape[3])))
+
+    qp = pad(q, tq_pad).reshape(b * h, tq_pad, d_pad)
+    kp = pad(k, tk_pad).reshape(b * h, tk_pad, d_pad)
+    vp = pad(v, tk_pad).reshape(b * h, tk_pad, d_pad)
+    dop = pad(do, tq_pad).reshape(b * h, tq_pad, d_pad)
+    # delta = rowsum(dO * O) — cheap elementwise+reduce, done in XLA
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, tq_pad - tq))
+                    ).reshape(b * h, 1, tq_pad)
+    lse = lse.reshape(b * h, 1, -1)[:, :, :tq_pad]
+
+    q_spec_q = pl.BlockSpec((1, blk_q, d_pad), lambda i, qi, ki: (i, qi, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec_q = pl.BlockSpec((1, 1, blk_q), lambda i, qi, ki: (i, 0, qi),
+                              memory_space=pltpu.VMEM)
+    if causal:
+        def kv_index(i, qi, ki):
+            last = ((qi + 1) * blk_q - 2 + offset) // blk_k
+            return (i, jnp.minimum(ki, last), 0)
+    else:
+        def kv_index(i, qi, ki):
+            return (i, ki, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, blk_q=blk_q, blk_k=blk_k, tq=tq, tk=tk,
+                          causal=causal, offset=offset),
+        grid=(b * h, n_q, n_k),
+        in_specs=[q_spec_q,
+                  pl.BlockSpec((1, blk_k, d_pad), kv_index,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, blk_k, d_pad), kv_index,
+                               memory_space=pltpu.VMEM),
+                  q_spec_q, row_spec_q, row_spec_q],
+        out_specs=q_spec_q,
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((blk_q, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, delta)
+
+    kv_spec = pl.BlockSpec((1, blk_k, d_pad), lambda i, ki, qi: (i, ki, 0),
+                           memory_space=pltpu.VMEM)
+    if causal:
+        # clamp not-yet-needed q blocks (conservative: the exact @pl.when
+        # guard decides compute; clamping only dedups DMA)
+        def q_index(i, ki, qi):
+            first = jnp.maximum(0, (ki * blk_k + 1 - offset) // blk_q - 1)
+            return (i, jnp.maximum(qi, first), 0)
+
+        def row_index(i, ki, qi):
+            first = jnp.maximum(0, (ki * blk_k + 1 - offset) // blk_q - 1)
+            return (i, 0, jnp.maximum(qi, first))
+    else:
+        def q_index(i, ki, qi):
+            return (i, qi, 0)
+
+        def row_index(i, ki, qi):
+            return (i, 0, qi)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, blk_q=blk_q, blk_k=blk_k, tq=tq, tk=tk,
+                          causal=causal, offset=offset),
+        grid=(b * h, n_k, n_q),
+        in_specs=[kv_spec, kv_spec,
+                  pl.BlockSpec((1, blk_q, d_pad), q_index,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, blk_q, d_pad), q_index,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, blk_q), row_index,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, blk_q), row_index,
+                               memory_space=pltpu.VMEM)],
+        out_specs=(kv_spec, kv_spec),
+        out_shape=(jax.ShapeDtypeStruct((b * h, tk_pad, d_pad), k.dtype),
+                   jax.ShapeDtypeStruct((b * h, tk_pad, d_pad), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((blk_k, d_pad), jnp.float32),
+                        pltpu.VMEM((blk_k, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(kp, vp, qp, dop, lse, delta)
+
+    dq = dq.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d]
+    dk = dk.reshape(b, h, tk_pad, d_pad)[:, :, :tk, :d]
+    dv = dv.reshape(b, h, tk_pad, d_pad)[:, :, :tk, :d]
+    return dq, dk, dv

@@ -63,9 +63,13 @@ class EncoderHParams:
     embed_dropout: float = 0.0
     attn_mask: bool = False
     # "xla" (default) or "flash": route eval-mode attention through the
-    # fused Pallas kernel (ops/attention_pallas.py); training always uses
-    # the XLA path (exact dropout semantics + autodiff)
+    # fused Pallas kernel (ops/attention_pallas.py)
     attn_impl: str = "xla"
+    # additionally use the kernel in TRAINING (custom VJP,
+    # ops/attention_pallas_bwd.py) — only valid when attention dropout is 0
+    # (the kernel has no in-softmax dropout); callers set this when the
+    # spec's attn_dropout is all-zero
+    flash_train: bool = False
 
 
 def _init_layer(rng: jax.Array, e_in: int, h: int, dh: int) -> dict:
@@ -110,7 +114,8 @@ def _layer_forward(
 ) -> jnp.ndarray:
     rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
     cm = m.channel_mask
-    impl = "flash" if (hp.attn_impl == "flash" and not train) else "xla"
+    impl = "flash" if (hp.attn_impl == "flash"
+                       and (not train or hp.flash_train)) else "xla"
     kw = {}
     if impl == "flash":
         tq = x.shape[1]

@@ -363,3 +363,74 @@ def test_flash_encoder_matches_xla(rng):
                                        atol=2e-5)
     finally:
         ap.flash_attention = orig
+
+
+def test_flash_gradients_match_xla(rng):
+    """The flash custom VJP must match the XLA softmax autodiff (interpret
+    mode; on-chip parity is relative-1e-5 f32 noise, see BENCH_NOTES.md)."""
+    import functools
+
+    import multimodal_transformer_robustness_tpu.ops.attention_pallas as ap
+
+    for (b, h, tq, tk, d) in [(2, 2, 16, 16, 8), (1, 2, 7, 20, 12)]:
+        q = jnp.asarray(rng.standard_normal((b, h, tq, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, tk, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, tk, d)), jnp.float32)
+        off = 1 + abs(tk - tq)
+
+        def ref(q, k, v):
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+            bias = future_mask(tq, tk)
+            w = jax.nn.softmax(logits + bias, axis=-1)
+            return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+        def loss_fl(q, k, v):
+            return jnp.sum(jnp.sin(ap.flash_attention(q, k, v, interpret=True)))
+
+        def loss_rf(q, k, v):
+            return jnp.sum(jnp.sin(ref(q, k, v)))
+
+        g1 = jax.grad(loss_fl, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_rf, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
+def test_flash_train_encoder_grads_match_xla(rng):
+    """End-to-end encoder training-mode gradients: flash_train == xla when
+    attention dropout is zero (other dropouts share identical rng draws)."""
+    import functools
+
+    import multimodal_transformer_robustness_tpu.ops.attention_pallas as ap
+
+    orig = ap.flash_attention
+    ap.flash_attention = functools.partial(orig, interpret=True)
+    try:
+        B, T, E, H, Dh, L = 2, 10, 16, 2, 8, 2
+        hp_x = EncoderHParams(embed_dim_in=E, num_heads=H, head_dim=Dh,
+                              layers=L, attn_mask=True, relu_dropout=0.1,
+                              res_dropout=0.1, embed_dropout=0.1,
+                              attn_impl="xla")
+        hp_f = EncoderHParams(embed_dim_in=E, num_heads=H, head_dim=Dh,
+                              layers=L, attn_mask=True, relu_dropout=0.1,
+                              res_dropout=0.1, embed_dropout=0.1,
+                              attn_impl="flash", flash_train=True)
+        params = init_encoder(jax.random.PRNGKey(11), hp_x)
+        x = jnp.asarray(rng.standard_normal((B, T, E)), jnp.float32)
+        masks = EncoderMasks(
+            layer_gates=_prefix_mask(L, L), head_mask=_prefix_mask(H, 1),
+            head_dim_mask=_prefix_mask(Dh, 5),
+            ffn_mask=_prefix_mask(4 * H * Dh, 20), channel_mask=None)
+        key = jax.random.PRNGKey(3)
+
+        def loss(p, hp):
+            y = encoder_forward(p, x, hp=hp, masks=masks, attn_rate=0.0,
+                                train=True, rng=key)
+            return jnp.sum(jnp.abs(y))
+
+        g_x = jax.grad(lambda p: loss(p, hp_x))(params)
+        g_f = jax.grad(lambda p: loss(p, hp_f))(params)
+        for a, b_ in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_f)):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-4)
+    finally:
+        ap.flash_attention = orig
