@@ -7,9 +7,18 @@ from a HuggingFace torch checkpoint directory via
 :func:`load_hf_bert_params`, or randomly initialized (e.g. a tiny config for
 tests, or when no checkpoint is available in an air-gapped environment).
 
-The forward matches HF ``BertModel``'s last_hidden_state: embeddings
-(word + position + token_type, LayerNorm, dropout omitted — eval/frozen) ->
-N post-norm transformer layers with GELU FFN -> hidden states.
+The forward matches HF ``BertModel``'s last_hidden_state in eval mode:
+embeddings (word + position + token_type, LayerNorm) -> N post-norm
+transformer layers with GELU FFN -> hidden states.
+
+Known deviation: the reference never calls ``.eval()`` on its frozen BERT,
+so HF's internal dropout stays ACTIVE during the reference's training
+forwards (``torch.no_grad`` stops gradients, not dropout —
+dynamic_models2.py:46-55).  This port omits BERT-internal dropout entirely,
+i.e. it behaves like the reference at eval time and is slightly less noisy
+than the reference at train time.  Deliberate: deterministic frozen features
+are the sane semantics for a frozen extractor; parity tests compare eval
+forwards where the two agree exactly.
 """
 
 from __future__ import annotations

@@ -58,28 +58,42 @@ def _stack_trees(trees: Sequence[dict]) -> dict:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
-def _flash_train_ok(spec: ModelSpec) -> bool:
-    # the kernel has no in-softmax dropout; only use it for training when
-    # every stack's attention dropout is zero
-    return all(r == 0.0 for r in spec.attn_dropout)
+def _group_rates(spec: ModelSpec, group: str) -> Tuple[float, ...]:
+    """Static effective attention-dropout rates of an encoder group.
+
+    Cross stacks with index > 0 always run at the reference's hard-coded 0.1
+    (dynamic_models2.py:201-207 via ``attn_dropout_for_cross``) even when the
+    --attn_dropout flags are all zero — the flash-train gate must see those
+    effective rates, not the raw flag values."""
+    if group == "mems0":
+        return tuple(spec.attn_dropout[:spec.modality_num])
+    if group == "cross":
+        return tuple(spec.attn_dropout_for_cross(i)
+                     for i in range(len(spec.cross_strings)))
+    assert group == "top"
+    return (spec.attn_dropout[-1],)
 
 
-def _hp_stream(spec: ModelSpec, layers: int) -> EncoderHParams:
+def _hp_stream(spec: ModelSpec, layers: int, group: str) -> EncoderHParams:
+    # flash kernel has no in-softmax dropout; only train through it when
+    # every stack in this vmapped group has zero effective attention dropout
+    flash_ok = all(r == 0.0 for r in _group_rates(spec, group))
     return EncoderHParams(
         embed_dim_in=spec.dimension, num_heads=spec.num_heads,
         head_dim=spec.head_dim, layers=layers,
         relu_dropout=spec.relu_dropout, res_dropout=spec.res_dropout,
         embed_dropout=spec.embed_dropout, attn_mask=spec.attn_mask,
-        attn_impl=spec.attn_impl, flash_train=_flash_train_ok(spec))
+        attn_impl=spec.attn_impl, flash_train=flash_ok)
 
 
 def _hp_top(spec: ModelSpec) -> EncoderHParams:
+    flash_ok = all(r == 0.0 for r in _group_rates(spec, "top"))
     return EncoderHParams(
         embed_dim_in=spec.top_dim, num_heads=spec.num_heads,
         head_dim=spec.head_dim, layers=spec.layers_self_attn,
         relu_dropout=spec.relu_dropout, res_dropout=spec.res_dropout,
         embed_dropout=spec.embed_dropout, attn_mask=spec.attn_mask,
-        attn_impl=spec.attn_impl, flash_train=_flash_train_ok(spec))
+        attn_impl=spec.attn_impl, flash_train=flash_ok)
 
 
 def init_supernet(
@@ -120,12 +134,12 @@ def init_supernet(
             frozen["bert"] = bert_mod.init_bert(bert_key, bert_cfg)
     proj = tuple(init_header(next(keys), spec, i, bert_cfg) for i in range(M))
     mems0 = _stack_trees(
-        [init_encoder(next(keys), _hp_stream(spec, spec.layers_single_attn))
+        [init_encoder(next(keys), _hp_stream(spec, spec.layers_single_attn, "mems0"))
          for _ in range(M)])
     cross = None
     if n_cross:
         cross = _stack_trees(
-            [init_encoder(next(keys), _hp_stream(spec, spec.layers_cross_attn))
+            [init_encoder(next(keys), _hp_stream(spec, spec.layers_cross_attn, "cross"))
              for _ in range(n_cross)])
     else:
         for _ in range(max(n_cross, 1)):
@@ -199,7 +213,7 @@ def supernet_apply(
     base = jnp.stack(proj_x)  # [M, B, T, d] (T == 1 with RNN headers)
 
     # ---- per-modality self-attention stacks, one vmapped batch -------------
-    hp0 = _hp_stream(spec, spec.layers_single_attn)
+    hp0 = _hp_stream(spec, spec.layers_single_attn, "mems0")
     mems0_rates = jnp.asarray(spec.attn_dropout[:M], jnp.float32)
 
     def m0_fwd(p, x, gates, rate, key):
@@ -218,7 +232,7 @@ def supernet_apply(
     streams: List[jnp.ndarray] = [h_base[i] for i in range(M)]
 
     if n_cross:
-        hp_c = _hp_stream(spec, spec.layers_cross_attn)
+        hp_c = _hp_stream(spec, spec.layers_cross_attn, "cross")
         cross_rates = jnp.asarray(
             [spec.attn_dropout_for_cross(i) for i in range(n_cross)], jnp.float32)
         cross_keys = jax.random.split(k_cr, n_cross)

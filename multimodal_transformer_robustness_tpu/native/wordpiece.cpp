@@ -121,6 +121,9 @@ int32_t wp_encode_batch(int32_t handle, const char* texts,
                         int32_t max_length, int32_t* out_ids,
                         int32_t* out_attn) {
   if (handle < 0 || handle >= (int32_t)g_vocabs.size()) return -2;
+  if (max_length < 2) return -2;  // need room for [CLS] + [SEP]; smaller
+  //                                 would overflow the caller's row buffer /
+  //                                 wrap body to a huge size_t
   const Vocab& v = *g_vocabs[handle];
   for (int64_t i = 0; i < n; ++i) {
     const char* s = texts + offsets[i];

@@ -19,9 +19,13 @@ Written blockwise so sequence length scales past the current 1-token regime
 (SURVEY.md §5: today's headers collapse sequences; the kernel serves the
 sequence-preserving header variants and any long-context extension).
 
-Forward-only: eval/serving paths (robustness sweep, EA fitness, streaming
-inference) run in eval mode.  Training keeps the XLA path (strong fusion at
-training sizes, exact dropout semantics).
+Differentiable: a custom VJP (ops/attention_pallas_bwd.py) recomputes the
+blockwise softmax from the saved log-sum-exp, so training can run through the
+kernel — but the kernel has NO in-softmax dropout, so training use is gated
+to stacks whose effective attention-dropout rate is zero (including the
+reference's hard-coded 0.1 on cross stacks idx>0 — see models/mult.py
+``_group_rates``).  Stacks with nonzero rates keep the XLA path (exact
+dropout semantics).
 """
 
 from __future__ import annotations

@@ -105,6 +105,8 @@ class EvolutionSearch:
         pytree and evaluates in ONE dispatch per data batch (device-side
         lax.map chunking)."""
         tr = self.trainer
+        tr.cfg_chunk = self.max_cfg_chunk  # read at trace time by
+        #                                    eval_step_sweep's lax.map
         masks = [build_masks(self.spec, self._cfg(g)) for g in genomes]
         n_real = len(masks)
         chunk = tr.cfg_chunk

@@ -434,3 +434,30 @@ def test_flash_train_encoder_grads_match_xla(rng):
             np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-4)
     finally:
         ap.flash_attention = orig
+
+
+def test_flash_train_gate_respects_cross_stack_dropout():
+    """Cross stacks idx>0 run at the reference's hard-coded 0.1 attention
+    dropout (dynamic_models2.py:201-207) even with --attn_dropout all zero,
+    so the flash-train gate must refuse the cross group while allowing the
+    zero-rate mems0/top groups."""
+    from multimodal_transformer_robustness_tpu import ModelSpec
+    from multimodal_transformer_robustness_tpu.models.mult import (
+        _hp_stream, _hp_top)
+
+    spec = ModelSpec(
+        modality_set=("t", "a", "v"), orig_dimensions=(12, 10, 8),
+        dimension=8, num_heads=2, head_dim=4, layers_single_attn=2,
+        layers_cross_attn=2, layers_self_attn=1,
+        attn_dropout=(0.0, 0.0, 0.0, 0.0), relu_dropout=0.0,
+        res_dropout=0.0, out_dropout=0.0, embed_dropout=0.0,
+        attn_mask=True, output_dim=1, attn_impl="flash",
+        header_overrides={"t": "rnn"})
+    assert _hp_stream(spec, spec.layers_single_attn, "mems0").flash_train
+    assert _hp_top(spec).flash_train
+    # 12 cross strings for M=3; indexes > 0 have effective rate 0.1
+    assert not _hp_stream(spec, spec.layers_cross_attn, "cross").flash_train
+    # nonzero flag on modality 0 must also gate mems0
+    import dataclasses
+    spec2 = dataclasses.replace(spec, attn_dropout=(0.1, 0.0, 0.0, 0.0))
+    assert not _hp_stream(spec2, spec2.layers_single_attn, "mems0").flash_train
