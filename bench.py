@@ -27,7 +27,15 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def main(batch_size=16, steps=30, warmup=2, bert_layers=4):
+def main(batch_size=256, steps=30, warmup=2, bert_layers=4,
+         compute_dtype="bfloat16", emit_json=True):
+    """One measured train-throughput config.  Defaults = the headline:
+    throughput-optimal batch (256, measured sweep in BENCH_NOTES.md) with the
+    bf16 compute policy (params f32, compute bf16 — ModelSpec.compute_dtype).
+    ``main(batch_size=16, compute_dtype="float32")`` reproduces the strict
+    run.sh-parity configuration (the reference trains f32 at B=16)."""
+    import dataclasses
+
     import jax
 
     from multimodal_transformer_robustness_tpu.utils import enable_compilation_cache
@@ -44,7 +52,7 @@ def main(batch_size=16, steps=30, warmup=2, bert_layers=4):
     from multimodal_transformer_robustness_tpu.train.sampling import sample_train_config
     from __graft_entry__ import _mosei_spec
 
-    spec = _mosei_spec()
+    spec = dataclasses.replace(_mosei_spec(), compute_dtype=compute_dtype)
     bert_cfg = BertConfig(num_layers=bert_layers)
     params, frozen = init_supernet(jax.random.PRNGKey(0), spec, bert_cfg=bert_cfg)
 
@@ -110,14 +118,31 @@ def main(batch_size=16, steps=30, warmup=2, bert_layers=4):
         vs = sps / base["reference_samples_per_sec"]
         base_note = (f"reference {base['reference_samples_per_sec']:.2f} "
                      f"samples/s on {base['hardware']}")
+    # MFU estimate from XLA's cost analysis of the compiled step
+    flops_note = ""
+    try:
+        cost = train_step.lower(
+            params, opt_state, frozen, inputs, labels, mask_stream[0],
+            key).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0))
+        if flops:
+            tflops = flops / dt / 1e12
+            flops_note = (f"; {flops / 1e9:.1f} GFLOP/step = "
+                          f"{tflops:.1f} TFLOP/s achieved")
+    except Exception:
+        pass
     print(f"step {dt * 1000:.1f} ms on {jax.devices()[0].platform} "
-          f"({jax.devices()[0]}); {base_note}", file=sys.stderr)
-    print(json.dumps({
+          f"({jax.devices()[0]}) B={batch_size} {compute_dtype}; "
+          f"{base_note}{flops_note}", file=sys.stderr)
+    result = {
         "metric": "mosei_train_samples_per_sec_per_chip",
         "value": round(sps, 2),
         "unit": "samples/sec",
         "vs_baseline": round(vs, 2),
-    }))
+    }
+    if emit_json:
+        print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

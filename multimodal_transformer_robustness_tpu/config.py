@@ -156,6 +156,12 @@ class ModelSpec:
     # attention implementation for eval-mode stacks: "xla" or "flash"
     # (Pallas fused kernel, ops/attention_pallas.py)
     attn_impl: str = "xla"
+    # compute policy: "float32" (parity-exact) or "bfloat16" (params stay
+    # f32 master copies; activations and matmul operands cast to bf16 at the
+    # supernet_apply boundary — the TPU MXU's native training dtype).
+    # Numerically-sensitive reductions (softmax, LayerNorm moments, loss)
+    # stay f32 inside the ops.  Tolerance story: tests/test_bf16_policy.py.
+    compute_dtype: str = "float32"
     # modality char -> projection-header kind (reference
     # src/dynamic_models2.py:141-146: 'i'/'A' -> CNN+RNN, 't' -> BERT+RNN,
     # else RNN).

@@ -81,9 +81,10 @@ def init_bert(rng: jax.Array, cfg: BertConfig) -> dict:
 
 
 def _ln(x, g, b, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+    x32 = x.astype(jnp.float32)  # f32 moments under any compute policy
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    return (((x32 - mu) * jax.lax.rsqrt(var + eps)) * g + b).astype(x.dtype)
 
 
 def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
@@ -113,8 +114,12 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
         q = proj(lp["q_w"], lp["q_b"])
         k = proj(lp["k_w"], lp["k_b"])
         v = proj(lp["v_w"], lp["v_b"])
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh) + bias
-        w = jax.nn.softmax(logits, axis=-1)
+        logits = (jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                             preferred_element_type=jnp.float32)
+                  / math.sqrt(dh) + bias)
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)  # f32 softmax,
+        #                                     cast back (keeps the scan carry
+        #                                     dtype stable under bf16 policy)
         attn = jnp.einsum("bhqk,bhkd->bhqd", w, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, L, h)
         x = _ln(x + (attn @ lp["o_w"].T + lp["o_b"]), lp["ln1_g"], lp["ln1_b"], eps)

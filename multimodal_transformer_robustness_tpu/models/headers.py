@@ -74,33 +74,60 @@ def _cnn_apply(params: dict, x: jnp.ndarray, n_patches: int = 4) -> jnp.ndarray:
     return y.reshape(b, p * p, -1)
 
 
-def grouped_rnn_header_apply(rnn_params: list, xs: list) -> list:
-    """Run several RNN_Headers as ONE vmapped computation.
+def _grouped_bigru_level(gru_params: list, xs: list) -> list:
+    """One bidirectional-GRU *level* for several headers in ONE recurrence
+    call: every (header, direction) pair becomes a row of the kernel's G
+    axis (its own weights), so n headers cost one launch instead of n scans.
 
-    All inputs must share the sequence length; input widths may differ (they
-    zero-pad to the max, and the corresponding ``w_ih`` columns pad with
-    zeros — padded inputs are zero so the recurrence is unchanged).  Halving
-    the number of sequential GRU scans is a direct train-step win: scan
-    count, not FLOPs, dominates the recurrence and its backward pass.
+    Inputs must share T; widths may differ (inputs zero-pad to the max and
+    the matching ``w_ih`` columns pad with zeros — padded inputs are zero so
+    the recurrence is unchanged).  Returns per-header (outputs [B, T, d],
+    final hidden [B, d])."""
+    from ..ops.gru import _gate_views, _gi_gates, gru_recurrence
+
+    n = len(xs)
+    h = gru_params[0]["fwd"]["w_hh"].shape[1]
+    in_max = max(x.shape[-1] for x in xs)
+
+    def pad_w(w):
+        return jnp.pad(w, ((0, 0), (0, in_max - w.shape[-1])))
+
+    # G axis layout: [hdr0-fwd, hdr0-bwd, hdr1-fwd, ...]
+    gi_list = []
+    for p, x in zip(gru_params, xs):
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, in_max - x.shape[-1])))
+        gi_list.append(jnp.einsum("bti,gi->btg", xp, pad_w(p["fwd"]["w_ih"]))
+                       + p["fwd"]["b_ih"])
+        gi_list.append(jnp.einsum("bti,gi->btg", xp[:, ::-1],
+                                  pad_w(p["bwd"]["w_ih"])) + p["bwd"]["b_ih"])
+    gi = jnp.stack(gi_list)                              # [2n, B, T, 3H]
+    gi_r, gi_z, gi_n = _gi_gates(gi, h)
+    gates = [jnp.moveaxis(a, 1, 2) for a in (gi_r, gi_z, gi_n)]  # [2n, T, B, H]
+    w_hh = jnp.stack([p[d]["w_hh"] for p in gru_params for d in ("fwd", "bwd")])
+    b_hh = jnp.stack([p[d]["b_hh"] for p in gru_params for d in ("fwd", "bwd")])
+    hs = gru_recurrence(*gates, *_gate_views(w_hh, b_hh))  # [2n, T, B, H]
+    outs, finals = [], []
+    for k in range(n):
+        out_f = jnp.moveaxis(hs[2 * k], 0, 1)
+        out_b = jnp.moveaxis(hs[2 * k + 1], 0, 1)[:, ::-1]
+        outs.append(jnp.concatenate([out_f, out_b], axis=-1))
+        finals.append(jnp.concatenate([hs[2 * k, -1], hs[2 * k + 1, -1]], -1))
+    return outs, finals
+
+
+def grouped_rnn_header_apply(rnn_params: list, xs: list) -> list:
+    """Run several RNN_Headers' GRUs as two grouped recurrence calls (one
+    per level) — all headers and both directions share each kernel launch.
     """
     n = len(xs)
     if n == 1:
         return [_rnn_header_apply(rnn_params[0], xs[0])]
-    in_max = max(x.shape[-1] for x in xs)
-    xs_p = jnp.stack([
-        jnp.pad(x, ((0, 0), (0, 0), (0, in_max - x.shape[-1]))) for x in xs])
-
-    def pad_gru1(p):
-        w = p["w_ih"]
-        return {**p, "w_ih": jnp.pad(w, ((0, 0), (0, in_max - w.shape[-1])))}
-
-    stacked = jax.tree.map(
-        lambda *leaves: jnp.stack(leaves),
-        *[{"gru1": {"fwd": pad_gru1(p["gru1"]["fwd"]),
-                    "bwd": pad_gru1(p["gru1"]["bwd"])},
-           "gru2": p["gru2"]} for p in rnn_params])
-    out = jax.vmap(_rnn_header_apply)(stacked, xs_p)   # [n, B, 1, d]
-    return [out[k] for k in range(n)]
+    out1, _ = _grouped_bigru_level([p["gru1"] for p in rnn_params], xs)
+    d = out1[0].shape[-1]
+    ones, zeros = jnp.ones((d,), out1[0].dtype), jnp.zeros((d,), out1[0].dtype)
+    out1 = [masked_layer_norm(o, ones, zeros) for o in out1]
+    _, finals = _grouped_bigru_level([p["gru2"] for p in rnn_params], out1)
+    return [f[:, None, :] for f in finals]
 
 
 def init_header(rng: jax.Array, spec: ModelSpec, i: int,

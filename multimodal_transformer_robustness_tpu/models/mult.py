@@ -190,6 +190,22 @@ def supernet_apply(
     n_cross = len(spec.cross_strings)
     k_head, k_m0, k_cr, k_top, k_out = jax.random.split(rng, 5)
 
+    out_dtype = jnp.result_type(jnp.float32)
+    if spec.compute_dtype != "float32":
+        # bf16 compute policy: cast params/inputs/masks (float leaves only —
+        # int token ids and mask index arrays keep their dtypes) at the
+        # boundary; master params stay f32 in the optimizer, and the f32
+        # cast-back in astype's VJP gives f32 gradients automatically.
+        cdt = jnp.dtype(spec.compute_dtype)
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(cdt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+        params = cast(params)
+        inputs = cast(list(inputs))
+        masks = cast(masks)
+        if frozen is not None:
+            frozen = cast(frozen)
+
     # ---- projection headers (all modalities, even inactive ones — reference
     # dynamic_models2.py:224-229 runs proj + mems0 unconditionally).
     # Plain-RNN headers whose inputs share a sequence length run as ONE
@@ -288,4 +304,5 @@ def supernet_apply(
     h1 = dropout(k_out, h1, spec.out_dropout, train)
     h2 = masked_linear(h1, params.proj2["w"], params.proj2["b"], mask_out=ch)
     h2 = h2 + out
-    return masked_linear(h2, params.out_layer["w"], params.out_layer["b"])
+    y = masked_linear(h2, params.out_layer["w"], params.out_layer["b"])
+    return y.astype(out_dtype)  # predictions/loss in f32 under any policy

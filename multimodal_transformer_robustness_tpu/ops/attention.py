@@ -88,14 +88,17 @@ def multihead_attention(
 
     def proj(x, i):
         y = jnp.einsum("btc,hdc->bthd", x, w_in[i], preferred_element_type=jnp.float32)
-        return (y + b_in[i]) * hd
+        # cast back so a bf16 compute policy keeps bf16 logits/value matmuls
+        # (the f32 accumulate above is free on the MXU; leaving q/k/v f32
+        # would silently promote every downstream op)
+        return (((y + b_in[i]) * hd)).astype(x.dtype)
 
     q = proj(query, 0)
     k = proj(key, 1)
     v = proj(value, 2)
 
     active_dh = jnp.maximum(jnp.sum(head_dim_mask.astype(jnp.float32)), 1.0)
-    q = q * jax.lax.rsqrt(active_dh)  # active_head_dim ** -0.5
+    q = q * jax.lax.rsqrt(active_dh).astype(q.dtype)  # active_head_dim ** -0.5
 
     if impl == "flash":
         # fused Pallas path (see attention_pallas.py; differentiable via the
@@ -123,7 +126,8 @@ def multihead_attention(
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     weights = dropout(rng, weights, attn_dropout, train)
 
-    attn = jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32)
+    attn = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
     out = jnp.einsum("bqhd,ehd->bqe", attn, params["out_w"], preferred_element_type=jnp.float32)
     out = out + params["out_b"]
     if channel_mask is not None:

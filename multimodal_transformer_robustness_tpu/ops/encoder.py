@@ -181,14 +181,14 @@ def encoder_forward(
     if cm is not None:
         first_active = jnp.argmax(cm > 0)
         pos = make_positions(jnp.take(x_in, first_active, axis=-1))
-    pe = sinusoidal_pe(pos, hp.embed_dim_in, cm)
+    pe = sinusoidal_pe(pos, hp.embed_dim_in, cm).astype(x_in.dtype)
     x = scale * x_in + pe
     x = dropout(rngs[0] if rngs is not None else None, x, hp.embed_dropout, train)
 
     x_k = x_v = None
     if x_kv is not None:
         pos_kv = make_positions(x_kv[:, :, 0])
-        pe_kv = sinusoidal_pe(pos_kv, hp.embed_dim_in, None)
+        pe_kv = sinusoidal_pe(pos_kv, hp.embed_dim_in, None).astype(x_kv.dtype)
         xk_embed = scale * x_kv + pe_kv
         # independent dropout draws for k and v (dynamic_transformer.py:77-78)
         x_k = dropout(rngs[1] if rngs is not None else None, xk_embed, hp.embed_dropout, train)

@@ -6,9 +6,18 @@ this is what collapses every modality to one token before the transformer
 stacks (SURVEY.md §3.2).
 
 TPU design: the input-side gate projections for *all* timesteps are computed
-as one large matmul up front (MXU); the sequential ``lax.scan`` carries only
-the [B, H] hidden state and the small ``[3H, H]`` recurrent matmul.  Gate
-order and update equations follow torch exactly:
+as one large matmul up front (MXU); the sequential part carries only the
+[N, H] hidden state and three small ``[H, H]`` recurrent matmuls.  The
+recurrence itself has two interchangeable implementations behind
+:func:`gru_recurrence`:
+
+  * ``pallas`` (default on TPU): the fused whole-scan kernel in
+    ops/gru_pallas.py — hidden state VMEM-resident across all T steps, a
+    recomputing backward, and a leading ``G`` axis that batches every
+    direction/header with its own weights into one launch;
+  * ``xla``: a plain ``lax.scan`` (CPU tests, interpret-free fallback).
+
+Gate order and update equations follow torch exactly:
 
     r = sigmoid(x W_ir + b_ir + h W_hr + b_hr)
     z = sigmoid(x W_iz + b_iz + h W_hz + b_hz)
@@ -27,6 +36,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from .gru_pallas import gru_recurrence_pallas
+
+# "auto" = pallas on TPU, xla elsewhere; tests may set "xla" /
+# "pallas_interpret" (interpreter-mode kernel on CPU) explicitly.
+RECURRENCE_IMPL = "auto"
+
 
 def init_gru(rng: jax.Array, input_dim: int, hidden_dim: int) -> dict:
     k = math.sqrt(1.0 / hidden_dim)
@@ -39,11 +54,62 @@ def init_gru(rng: jax.Array, input_dim: int, hidden_dim: int) -> dict:
     }
 
 
-_SCAN_UNROLL = 4  # amortizes per-step scan overhead (and its transpose in
-#                   the backward pass, which dominates the training step).
-#                   8 was faster still, but the unrolled program crossed the
-#                   axon compile tunnel's request-size limit (HTTP 413) for
-#                   full train-step graphs; 4 keeps most of the win.
+_SCAN_UNROLL = 4  # xla path: amortizes per-step scan overhead (and its
+#                   transpose in the backward pass).  8 was faster still, but
+#                   the unrolled program crossed the axon compile tunnel's
+#                   request-size limit (HTTP 413) for full train-step graphs.
+
+
+def _recurrence_xla(gi_r, gi_z, gi_n, wr, wz, wn, br, bz, bn) -> jnp.ndarray:
+    """lax.scan recurrence, same [G, T, N, H] contract as the kernel."""
+    g, t, n, h = gi_r.shape
+    seq = (jnp.moveaxis(gi_r, 1, 0), jnp.moveaxis(gi_z, 1, 0),
+           jnp.moveaxis(gi_n, 1, 0))
+
+    def cell(hc, gis):
+        ir, iz, in_ = gis
+        gh_r = jnp.einsum("gnh,ghk->gnk", hc, wr) + br[:, None]
+        gh_z = jnp.einsum("gnh,ghk->gnk", hc, wz) + bz[:, None]
+        gh_n = jnp.einsum("gnh,ghk->gnk", hc, wn) + bn[:, None]
+        r = jax.nn.sigmoid(ir + gh_r)
+        z = jax.nn.sigmoid(iz + gh_z)
+        nn = jnp.tanh(in_ + r * gh_n)
+        h_new = (1.0 - z) * nn + z * hc
+        return h_new, h_new
+
+    h0 = jnp.zeros((g, n, h), gi_r.dtype)
+    _, hs = jax.lax.scan(cell, h0, seq, unroll=_SCAN_UNROLL)
+    return jnp.moveaxis(hs, 0, 1)
+
+
+def gru_recurrence(gi_r, gi_z, gi_n, wr, wz, wn, br, bz, bn) -> jnp.ndarray:
+    """Dispatch the [G, T, N, H] recurrence to the configured impl."""
+    impl = RECURRENCE_IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return gru_recurrence_pallas(gi_r, gi_z, gi_n, wr, wz, wn, br, bz, bn)
+    if impl == "pallas_interpret":
+        return gru_recurrence_pallas(gi_r, gi_z, gi_n, wr, wz, wn, br, bz, bn,
+                                     True)
+    return _recurrence_xla(gi_r, gi_z, gi_n, wr, wz, wn, br, bz, bn)
+
+
+def _gate_views(w_hh: jnp.ndarray, b_hh: jnp.ndarray):
+    """w_hh [..., 3H, H] -> per-gate transposed weights [..., H, H] (r, z, n)
+    and biases [..., H]."""
+    h = w_hh.shape[-1]
+    w3 = w_hh.reshape(w_hh.shape[:-2] + (3, h, h))
+    wt = jnp.swapaxes(w3, -1, -2)  # h @ W^T needs [in, out]
+    b3 = b_hh.reshape(b_hh.shape[:-1] + (3, h))
+    return (wt[..., 0, :, :], wt[..., 1, :, :], wt[..., 2, :, :],
+            b3[..., 0, :], b3[..., 1, :], b3[..., 2, :])
+
+
+def _gi_gates(gi: jnp.ndarray, h: int):
+    """gi [..., T, 3H] -> three [..., T, H] per-gate arrays."""
+    g3 = gi.reshape(gi.shape[:-1] + (3, h))
+    return g3[..., 0, :], g3[..., 1, :], g3[..., 2, :]
 
 
 def gru_forward(params: dict, x: jnp.ndarray, reverse: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -52,27 +118,20 @@ def gru_forward(params: dict, x: jnp.ndarray, reverse: bool = False) -> Tuple[jn
     ``reverse=True`` runs t = T-1 .. 0 (torch's backward direction: its final
     hidden is the state after processing t=0, and outputs[t] is the state the
     backward pass had at time t)."""
-    h_dim = params["w_hh"].shape[1]
+    h = params["w_hh"].shape[1]
     # all-timestep input projection in one MXU matmul
     gi = jnp.einsum("bti,gi->btg", x, params["w_ih"]) + params["b_ih"]  # [B, T, 3H]
-    gi = jnp.moveaxis(gi, 1, 0)  # [T, B, 3H] scan-major
-    w_hh = params["w_hh"]
-    b_hh = params["b_hh"]
-
-    def cell(h, gi_t):
-        gh = jnp.matmul(h, w_hh.T) + b_hh
-        i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
-        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-        r = jax.nn.sigmoid(i_r + h_r)
-        z = jax.nn.sigmoid(i_z + h_z)
-        n = jnp.tanh(i_n + r * h_n)
-        h_new = (1.0 - z) * n + z * h
-        return h_new, h_new
-
-    h0 = jnp.zeros((x.shape[0], h_dim), x.dtype)
-    h_final, outs = jax.lax.scan(cell, h0, gi, reverse=reverse,
-                                 unroll=_SCAN_UNROLL)
-    return jnp.moveaxis(outs, 0, 1), h_final
+    if reverse:
+        gi = gi[:, ::-1]
+    gi_r, gi_z, gi_n = _gi_gates(gi, h)  # [B, T, H] each
+    gates = [jnp.moveaxis(a, 0, 1)[None] for a in (gi_r, gi_z, gi_n)]  # [1, T, B, H]
+    wr, wz, wn, br, bz, bn = _gate_views(params["w_hh"][None], params["b_hh"][None])
+    hs = gru_recurrence(*gates, wr, wz, wn, br, bz, bn)  # [1, T, B, H]
+    outs = jnp.moveaxis(hs[0], 0, 1)  # [B, T, H]
+    h_final = hs[0, -1]
+    if reverse:
+        outs = outs[:, ::-1]
+    return outs, h_final
 
 
 def init_bigru(rng: jax.Array, input_dim: int, hidden_dim: int) -> dict:
@@ -91,41 +150,20 @@ def bigru_forward(params: dict, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
     backward-final (after t=0), matching ``torch.cat((h[0], h[1]), dim=1)``
     in the reference RNN_Header (src/dynamic_models2.py:38).
 
-    Both directions run in ONE scan: the backward direction is the forward
-    recurrence on the time-flipped sequence, so fwd/bwd stack on the batch
-    axis (halves the number of sequential scans — scan count, not FLOPs,
-    dominates the tiny-step recurrence and especially its backward pass)."""
-    b = x.shape[0]
-    p2 = jax.tree.map(lambda a, c: jnp.stack([a, c]), params["fwd"], params["bwd"])
-    h_dim = params["fwd"]["w_hh"].shape[1]
-
-    # per-direction input projections, then merge on the batch axis
+    Both directions run in ONE recurrence call on the leading G axis (the
+    backward direction is the forward recurrence on the time-flipped
+    sequence) — one kernel launch / one scan instead of two."""
+    h = params["fwd"]["w_hh"].shape[1]
     gi_f = jnp.einsum("bti,gi->btg", x, params["fwd"]["w_ih"]) + params["fwd"]["b_ih"]
     gi_b = jnp.einsum("bti,gi->btg", x[:, ::-1], params["bwd"]["w_ih"]) + params["bwd"]["b_ih"]
-    gi = jnp.concatenate([gi_f, gi_b], axis=0)          # [2B, T, 3H]
-    gi = jnp.moveaxis(gi, 1, 0)                          # [T, 2B, 3H]
-    w_hh = jnp.concatenate([jnp.broadcast_to(params["fwd"]["w_hh"], (1, 3 * h_dim, h_dim)),
-                            jnp.broadcast_to(params["bwd"]["w_hh"], (1, 3 * h_dim, h_dim))])
+    gi = jnp.stack([gi_f, gi_b])                         # [2, B, T, 3H]
+    gi_r, gi_z, gi_n = _gi_gates(gi, h)
+    gates = [jnp.moveaxis(a, 1, 2) for a in (gi_r, gi_z, gi_n)]  # [2, T, B, H]
+    w_hh = jnp.stack([params["fwd"]["w_hh"], params["bwd"]["w_hh"]])
     b_hh = jnp.stack([params["fwd"]["b_hh"], params["bwd"]["b_hh"]])
-
-    def cell(h, gi_t):
-        # h: [2B, H]; per-direction recurrent matmul via batched dot
-        h2 = h.reshape(2, b, h_dim)
-        gh = jnp.einsum("dbh,dgh->dbg", h2, w_hh) + b_hh[:, None, :]
-        gh = gh.reshape(2 * b, 3 * h_dim)
-        i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
-        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-        r = jax.nn.sigmoid(i_r + h_r)
-        z = jax.nn.sigmoid(i_z + h_z)
-        n = jnp.tanh(i_n + r * h_n)
-        h_new = (1.0 - z) * n + z * h
-        return h_new, h_new
-
-    h0 = jnp.zeros((2 * b, h_dim), x.dtype)
-    h_final, outs = jax.lax.scan(cell, h0, gi, unroll=_SCAN_UNROLL)
-    outs = jnp.moveaxis(outs, 0, 1)                      # [2B, T, H]
-    out_f, out_b = outs[:b], outs[b:, ::-1]              # un-flip backward
-    h_f, h_b = h_final[:b], h_final[b:]
-    del p2
+    wr, wz, wn, br, bz, bn = _gate_views(w_hh, b_hh)
+    hs = gru_recurrence(*gates, wr, wz, wn, br, bz, bn)  # [2, T, B, H]
+    out_f = jnp.moveaxis(hs[0], 0, 1)                    # [B, T, H]
+    out_b = jnp.moveaxis(hs[1], 0, 1)[:, ::-1]           # un-flip backward
     return (jnp.concatenate([out_f, out_b], axis=-1),
-            jnp.concatenate([h_f, h_b], axis=-1))
+            jnp.concatenate([hs[0, -1], hs[1, -1]], axis=-1))

@@ -52,10 +52,10 @@ def masked_linear(
     channels invariant, but accepting it keeps the op self-contained.
     """
     if mask_in is not None:
-        x = x * mask_in
+        x = x * mask_in.astype(x.dtype)
     y = jnp.matmul(x, w.T, preferred_element_type=x.dtype)
     if b is not None:
         y = y + b
     if mask_out is not None:
-        y = y * mask_out
+        y = y * mask_out.astype(y.dtype)
     return y

@@ -61,3 +61,70 @@ def test_bigru_init_shapes():
     p = init_bigru(__import__("jax").random.PRNGKey(0), 5, 4)
     assert p["fwd"]["w_ih"].shape == (12, 5)
     assert p["bwd"]["w_hh"].shape == (12, 4)
+
+
+def test_pallas_recurrence_matches_xla_fwd_and_grads():
+    """Fused-kernel recurrence (interpret mode on CPU) == lax.scan path,
+    values and gradients, including the G axis and the recomputing
+    backward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from multimodal_transformer_robustness_tpu.ops import gru as gru_mod
+    from multimodal_transformer_robustness_tpu.ops.gru import (
+        _gate_views, _gi_gates, _recurrence_xla)
+    from multimodal_transformer_robustness_tpu.ops.gru_pallas import (
+        gru_recurrence_pallas)
+
+    rng = np.random.default_rng(0)
+    G, T, N, H = 3, 7, 5, 12
+    gi = jnp.asarray(rng.standard_normal((G, N, T, 3 * H)), jnp.float32)
+    gi_r, gi_z, gi_n = (jnp.moveaxis(a, 1, 2)
+                        for a in _gi_gates(gi, H))        # [G, T, N, H]
+    w_hh = jnp.asarray(rng.standard_normal((G, 3 * H, H)) * 0.3, jnp.float32)
+    b_hh = jnp.asarray(rng.standard_normal((G, 3 * H)) * 0.1, jnp.float32)
+    wr, wz, wn, br, bz, bn = _gate_views(w_hh, b_hh)
+
+    hs_x = _recurrence_xla(gi_r, gi_z, gi_n, wr, wz, wn, br, bz, bn)
+    hs_p = gru_recurrence_pallas(gi_r, gi_z, gi_n, wr, wz, wn, br, bz, bn,
+                                 True)
+    np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_x),
+                               rtol=1e-5, atol=1e-5)
+
+    tgt = jnp.asarray(rng.standard_normal(hs_x.shape), jnp.float32)
+
+    def loss(fn, args):
+        return jnp.sum(jnp.sin(fn(*args)) * tgt)
+
+    args = (gi_r, gi_z, gi_n, wr, wz, wn, br, bz, bn)
+    g_x = jax.grad(lambda *a: loss(_recurrence_xla, a), argnums=range(9))(*args)
+    g_p = jax.grad(
+        lambda *a: loss(lambda *b: gru_recurrence_pallas(*b, True), a),
+        argnums=range(9))(*args)
+    for a, b, name in zip(g_x, g_p,
+                          "gi_r gi_z gi_n wr wz wn br bz bn".split()):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_grouped_header_equals_individual():
+    """grouped_rnn_header_apply (shared-kernel G-axis path) == running each
+    RNN header individually."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from multimodal_transformer_robustness_tpu.models.headers import (
+        _init_rnn_header, _rnn_header_apply, grouped_rnn_header_apply)
+
+    rng = np.random.default_rng(1)
+    d, T, B = 8, 6, 3
+    widths = (10, 7, 4)
+    params = [_init_rnn_header(jax.random.PRNGKey(i), w, d)
+              for i, w in enumerate(widths)]
+    xs = [jnp.asarray(rng.standard_normal((B, T, w)), jnp.float32)
+          for w in widths]
+    grouped = grouped_rnn_header_apply(params, xs)
+    for p, x, g in zip(params, xs, grouped):
+        solo = _rnn_header_apply(p, x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(solo),
+                                   rtol=1e-5, atol=1e-6)
