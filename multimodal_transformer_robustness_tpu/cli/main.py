@@ -155,10 +155,18 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     bert_cfg = None
-    if any(spec.header_kind(c) == "bert_rnn" for c in spec.modality_set) \
-            and not args.bert_dir:
-        bert_cfg = BertConfig(num_layers=4)  # random-init stand-in; pass
-        #                                      --bert_dir for the real weights
+    if any(spec.header_kind(c) == "bert_rnn" for c in spec.modality_set):
+        if args.bert_dir:
+            # resolve the checkpoint's real geometry so downstream apply
+            # calls don't fall back to BERT-base defaults
+            from ..models.bert import load_hf_bert_params
+
+            loaded = load_hf_bert_params(args.bert_dir)
+            assert loaded is not None, f"cannot load BERT from {args.bert_dir}"
+            bert_cfg = loaded[1]
+        else:
+            bert_cfg = BertConfig(num_layers=4)  # random-init stand-in; pass
+            #                                      --bert_dir for real weights
     params, frozen = init_supernet(key, spec, bert_cfg=bert_cfg,
                                    bert_dir=args.bert_dir)
     if args.pretrain is not None:

@@ -1,0 +1,250 @@
+"""Training-dynamics parity: identical init (state-dict bridge), identical
+synthetic batches, dropout 0 — N optimizer+clip steps on the REFERENCE stack
+(src/train.py:75-201 semantics: forward -> L1 loss -> set_active for the
+NEXT batch -> backward -> global-norm clip -> step) must produce the same
+per-step loss trajectory as our Trainer within f32 noise.
+
+This validates criterion/optimizer/clip/lag-one-quirk end to end and stands
+in for real-data accuracy parity (no real dataset shards exist in this
+environment — BENCH_NOTES.md).
+
+The trajectory oracle runs SGD (an ``--optim`` the reference accepts,
+train.py:51): SGD updates are LINEAR in the gradient, so f32 noise stays
+f32-sized across steps.  Adam's bias-corrected first step is
+``lr * g/|g|`` — effectively sign(g) — so any 1e-7 cross-framework noise on
+a near-zero gradient coordinate moves that parameter a full 2*lr apart and
+the trajectories diverge chaotically REGARDLESS of implementation
+correctness; Adam is therefore checked for one step only, plus a direct
+step-0 gradient-parity assertion (cosine + relative error).
+"""
+
+import importlib.machinery
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_transformer_robustness_tpu import (
+    ActiveConfig,
+    ModelSpec,
+    build_masks,
+    full_active_config,
+    gen_active_cross,
+)
+from multimodal_transformer_robustness_tpu.checkpoint import export_torch_state_dict
+from multimodal_transformer_robustness_tpu.models import init_supernet
+from multimodal_transformer_robustness_tpu.train.loop import Trainer, TrainHParams
+
+REF = "/root/reference"
+N_STEPS = 20
+CLIP = 0.8
+LR = 1e-3
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not present")
+
+
+def _spec():
+    return ModelSpec(
+        modality_set=("a", "v"), orig_dimensions=(6, 4), dimension=8,
+        num_heads=2, head_dim=4, layers_single_attn=2, layers_cross_attn=1,
+        layers_self_attn=1, attn_dropout=(0.0, 0.0, 0.0), relu_dropout=0.0,
+        res_dropout=0.0, out_dropout=0.0, embed_dropout=0.0, attn_mask=True,
+        output_dim=1)
+
+
+def _cfg_schedule(spec, n):
+    """Deterministic per-step configs (stands in for random_sample — the two
+    stacks cannot share an RNG stream, SURVEY.md §7 hard part 3)."""
+    r = np.random.default_rng(42)
+    cfgs = []
+    for _ in range(n):
+        am = [[0], [1], [0, 1]][r.integers(0, 3)]
+        ac, aco = gen_active_cross(spec, am, rng=r)
+        cfgs.append(ActiveConfig(
+            active_modality=list(am), active_cross=ac, active_cross_output=aco,
+            active_single_attn_layer_num=[int(v) for v in r.integers(0, 3, 2)],
+            active_self_attn_layer_num=int(r.integers(0, 2)),
+            active_hybrid_attn_layer_num=int(r.integers(0, 2)),
+            active_dimension=int(r.integers(4, spec.ffn_dim + 1)),
+            active_head_num=int(r.integers(1, spec.num_heads + 1)),
+            active_head_dim=int(r.integers(1, spec.head_dim + 1))))
+    return cfgs
+
+
+def _build_stacks(torch, spec):
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    for name in ("torchvision", "torchvision.transforms", "torchvision.models",
+                 "fannypack", "src.dataset"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            if name == "src.dataset":
+                mod.Multimodal_Datasets = None
+            sys.modules[name] = mod
+    from src import dynamic_models2 as dm2
+
+    from src import dynamic_models2 as dm2
+
+    params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
+
+    # no text modality: stub the dead model-level BertTextEncoder
+    # (constructed unconditionally at dynamic_models2.py:130, never used)
+    dm2.BertModel = types.SimpleNamespace(
+        from_pretrained=lambda _p: torch.nn.Linear(1, 1))
+    ref = dm2.DynamicMULTModel(
+        origin_dimensions=list(spec.orig_dimensions), dimension=spec.dimension,
+        num_heads=spec.num_heads, head_dim=spec.head_dim,
+        layers_single_attn=spec.layers_single_attn,
+        layers_hybrid_attn=spec.layers_cross_attn,
+        layers_self_attn=spec.layers_self_attn,
+        attn_dropout=list(spec.attn_dropout), relu_dropout=spec.relu_dropout,
+        res_dropout=spec.res_dropout, out_dropout=spec.out_dropout,
+        embed_dropout=spec.embed_dropout, attn_mask=spec.attn_mask,
+        output_dim=spec.output_dim, modality_set=list(spec.modality_set),
+        all_steps=False, stride=None, padding=None, kernel_size=None,
+        experiment_type="random_sample")
+    sd = export_torch_state_dict(spec, params)
+    ref.load_state_dict({k: torch.from_numpy(np.array(v))
+                         for k, v in sd.items()}, strict=False)
+    ref.train()  # all dropout rates are 0, so train mode is deterministic
+    return params, frozen, ref
+
+
+def _set_ref(ref, cfg):
+    ref.set_active(
+        active_self_attn_layer_num=cfg.active_self_attn_layer_num,
+        active_single_attn_layer_num=list(cfg.active_single_attn_layer_num),
+        active_hybrid_attn_layer_num=cfg.active_hybrid_attn_layer_num,
+        active_dimension=cfg.active_dimension,
+        active_head_num=cfg.active_head_num,
+        active_head_dim=cfg.active_head_dim,
+        active_modality=list(cfg.active_modality),
+        active_cross=[list(c) for c in cfg.active_cross],
+        active_cross_output=[list(c) for c in cfg.active_cross_output])
+
+
+def _batches(n=4, B=4, T=6):
+    rng = np.random.default_rng(5)
+    return [([rng.standard_normal((B, T, 6)).astype(np.float32),
+              rng.standard_normal((B, T, 4)).astype(np.float32)],
+             rng.standard_normal((B, 1)).astype(np.float32))
+            for _ in range(n)], B
+
+
+def _run_ref(torch, ref, spec, optim_name, n_steps, cfgs, batches):
+    """The reference inner-loop order (train.py:75-201): forward -> loss ->
+    set_active (takes effect NEXT batch) -> backward -> clip -> step."""
+    criterion = torch.nn.L1Loss()
+    optimizer = getattr(torch.optim, optim_name)(ref.parameters(), lr=LR)
+    _set_ref(ref, full_active_config(spec))
+    losses = []
+    for i in range(n_steps):
+        inputs, labels = batches[i % len(batches)]
+        optimizer.zero_grad()
+        out, _ = ref([torch.from_numpy(x) for x in inputs])
+        loss = criterion(out, torch.from_numpy(labels))
+        _set_ref(ref, cfgs[i])  # sampled config applies to the NEXT forward
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), CLIP)
+        optimizer.step()
+        losses.append(float(loss.detach()))
+    return losses
+
+
+def _run_ours(spec, params, frozen, optim_name, n_steps, cfgs, batches, B):
+    hp = TrainHParams(
+        batch_size=B, lr=LR, optim=optim_name, clip=CLIP, num_epochs=1,
+        when=20, experiment_type="random_sample", modality_pool=[[0, 1]],
+        all_module=False, specific=None, criterion="L1Loss", log_interval=100,
+        seed=0, dataset="synthetic", model_path="/tmp/x")
+    trainer = Trainer(spec, params, frozen, hp)
+    masks = jax.tree.map(jnp.asarray, build_masks(spec, full_active_config(spec)))
+    valid = jnp.ones((B,), jnp.float32)
+    losses = []
+    p, opt_state = trainer.params, trainer.opt_state
+    for i in range(n_steps):
+        inputs, labels = batches[i % len(batches)]
+        p, opt_state, loss = trainer.train_step(
+            p, opt_state, masks, [jnp.asarray(x) for x in inputs],
+            jnp.asarray(labels), valid, jax.random.PRNGKey(i))
+        masks = jax.tree.map(jnp.asarray, build_masks(spec, cfgs[i]))
+        losses.append(float(loss))
+    return losses
+
+
+def test_step0_gradient_parity():
+    """Criterion + backward: step-0 gradients match the reference's
+    elementwise (the trajectory tests below then cover the update rules)."""
+    torch = pytest.importorskip("torch")
+    spec = _spec()
+    params, frozen, ref = _build_stacks(torch, spec)
+    batches, B = _batches()
+    inputs, labels = batches[0]
+    _set_ref(ref, full_active_config(spec))
+    out, _ = ref([torch.from_numpy(x) for x in inputs])
+    torch.nn.L1Loss()(out, torch.from_numpy(labels)).backward()
+    ref_grads = {k: v.grad.numpy() for k, v in ref.named_parameters()
+                 if v.grad is not None}
+
+    from multimodal_transformer_robustness_tpu.models import supernet_apply
+
+    def loss_fn(p):
+        preds = supernet_apply(
+            spec, p, build_masks(spec, full_active_config(spec)),
+            [jnp.asarray(x) for x in inputs], frozen=frozen, train=True,
+            rng=jax.random.PRNGKey(0))
+        return jnp.mean(jnp.abs(preds - jnp.asarray(labels)))
+
+    grads = jax.grad(loss_fn)(params)
+    gsd = export_torch_state_dict(spec, grads)  # same name mapping as params
+    checked = 0
+    for name, g_ref in ref_grads.items():
+        g_ours = np.asarray(gsd[name])
+        scale = max(np.abs(g_ref).max(), 1e-8)
+        np.testing.assert_allclose(g_ours / scale, g_ref / scale, atol=2e-5,
+                                   err_msg=name)
+        checked += 1
+    assert checked > 50  # every learned tensor in the supernet
+
+
+def test_sgd_trajectory_parity():
+    """20 SGD+clip steps with a per-step elastic-config schedule: per-step
+    losses match within f32 noise (SGD updates are linear in the gradient,
+    CLIP=0.05 keeps the global-norm clip active every step)."""
+    torch = pytest.importorskip("torch")
+    global CLIP
+    old_clip, CLIP = CLIP, 0.05
+    try:
+        spec = _spec()
+        params, frozen, ref = _build_stacks(torch, spec)
+        batches, B = _batches()
+        cfgs = _cfg_schedule(spec, N_STEPS)
+        ref_losses = _run_ref(torch, ref, spec, "SGD", N_STEPS, cfgs, batches)
+        our_losses = _run_ours(spec, params, frozen, "SGD", N_STEPS, cfgs,
+                               batches, B)
+        np.testing.assert_allclose(
+            our_losses, ref_losses, rtol=1e-4, atol=1e-6,
+            err_msg=f"trajectories:\nref  {ref_losses}\nours {our_losses}")
+    finally:
+        CLIP = old_clip
+
+
+def test_adam_single_step_parity():
+    """One Adam step (the chaotic-divergence argument in the module
+    docstring rules out long Adam trajectories as an oracle)."""
+    torch = pytest.importorskip("torch")
+    spec = _spec()
+    params, frozen, ref = _build_stacks(torch, spec)
+    batches, B = _batches()
+    cfgs = _cfg_schedule(spec, 2)
+    ref_losses = _run_ref(torch, ref, spec, "Adam", 2, cfgs, batches)
+    our_losses = _run_ours(spec, params, frozen, "Adam", 2, cfgs, batches, B)
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-5)
+    # step-1 loss reflects one Adam update; sign(g)-amplified noise bounds it
+    np.testing.assert_allclose(our_losses[1], ref_losses[1], rtol=5e-3)
