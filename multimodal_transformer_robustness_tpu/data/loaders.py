@@ -10,7 +10,7 @@ validity mask), so the jitted step never retraces.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, List, Sequence
+from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -51,12 +51,24 @@ class BatchIterator:
     """Deterministic, seeded batching with tail padding to a fixed size."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, drop_tail: bool = False):
+                 seed: int = 0, drop_tail: bool = False,
+                 process_shard: Optional[tuple] = None):
+        """``process_shard=(process_id, n_processes)``: multi-host data
+        sharding — every process builds the SAME deterministic global batch
+        order (seeded shuffle) and yields only its contiguous row range of
+        each ``batch_size``-row global batch; pair with
+        ``parallel.mesh.global_batch_from_local`` to assemble global arrays.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_tail = drop_tail
+        self.process_shard = process_shard
+        if process_shard is not None:
+            pid, nproc = process_shard
+            assert 0 <= pid < nproc and batch_size % nproc == 0, (
+                f"batch {batch_size} must divide over {nproc} processes")
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -81,6 +93,11 @@ class BatchIterator:
                 pad = bs - len(idx)
                 valid[len(idx):] = 0.0
                 idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            if self.process_shard is not None:
+                pid, nproc = self.process_shard
+                per = bs // nproc
+                sl = slice(pid * per, (pid + 1) * per)
+                idx, valid = idx[sl], valid[sl]
             yield self._gather(idx, valid)
 
     def _gather(self, idx: np.ndarray, valid: np.ndarray) -> Batch:

@@ -49,19 +49,35 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _pick_nblk(n: int) -> int:
-    # one [Nblk, H] tile per gate per resident timestep; keep VMEM modest
-    return min(512, max(8, -(-n // 8) * 8))
-
-
-def _pick_kt(t: int) -> int:
-    # largest divisor of T in [1, 8]: timesteps per grid block (static
+def _pick_kt(t: int, cap: int = 8) -> int:
+    # largest divisor of T in [1, cap]: timesteps per grid block (static
     # unroll).  A divisor keeps time blocks exact — padding the time axis
     # would corrupt the recurrence (a zero-gi step still updates h).
-    for k in (8, 7, 6, 5, 4, 3, 2):
+    for k in range(min(cap, t), 1, -1):
         if t % k == 0:
             return k
     return 1
+
+
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the ~16 MB scoped limit
+
+
+def _pick_blocks(t: int, n: int, h: int, n_bufs: int, itemsize: int = 4):
+    """(kt, nblk) such that the pipeline's resident block buffers
+    (``n_bufs`` arrays, double-buffered) fit the VMEM budget.  Without this
+    cap, large-batch configs blow the 16 MB scoped-vmem limit at compile
+    time (seen at [2, 32, 1024, 100] f32)."""
+    kt = _pick_kt(t)
+    nblk = min(512, max(8, -(-n // 8) * 8))
+
+    def cost(kt_, nblk_):
+        return kt_ * nblk_ * h * itemsize * n_bufs * 2
+
+    while cost(kt, nblk) > _VMEM_BUDGET and nblk > 8:
+        nblk = max(8, (nblk // 2 + 7) // 8 * 8)
+    while cost(kt, nblk) > _VMEM_BUDGET and kt > 1:
+        kt = _pick_kt(t, kt - 1)
+    return kt, nblk
 
 
 def _gates_f32(gi_r, gi_z, gi_n, h, wr, wz, wn, br, bz, bn):
@@ -97,8 +113,8 @@ def _fwd_kernel(gi_r, gi_z, gi_n, wr, wz, wn, br, bz, bn, o_ref, h_ref,
 def _recurrence_fwd_impl(gi_r, gi_z, gi_n, wr, wz, wn, br, bz, bn,
                          *, interpret: bool = False) -> jnp.ndarray:
     g, t, n, h = gi_r.shape
-    nblk = _pick_nblk(n)
-    kt = _pick_kt(t)
+    # 3 gi inputs + 1 output resident per pipeline stage
+    kt, nblk = _pick_blocks(t, n, h, n_bufs=4, itemsize=gi_r.dtype.itemsize)
     grid = (g, _cdiv(n, nblk), t // kt)
 
     gi_spec = pl.BlockSpec((1, kt, nblk, h), lambda gg, bb, tt: (gg, tt, bb, 0))
@@ -171,8 +187,8 @@ def _bwd_kernel(gi_r, gi_z, gi_n, hs, hs_left, dhs, wr, wz, wn, br, bz, bn,
 def _recurrence_bwd_impl(gi_r, gi_z, gi_n, hs, dhs, wr, wz, wn, br, bz, bn,
                          *, interpret: bool = False):
     g, t, n, h = gi_r.shape
-    nblk = _pick_nblk(n)
-    kt = _pick_kt(t)
+    # 6 inputs (3 gi, hs, hs_left, dhs) + 4 outputs resident per stage
+    kt, nblk = _pick_blocks(t, n, h, n_bufs=10, itemsize=gi_r.dtype.itemsize)
     nbt = t // kt
     grid = (g, _cdiv(n, nblk), nbt)
 

@@ -14,13 +14,16 @@ one ``jax.jit`` program:
     for large configurations (shardings annotated on the stacked layer
     parameters; XLA inserts the all-reduces).
 
-Multi-host: `jax.distributed.initialize()` + the same meshes over all
-processes (DCN between hosts, ICI within a slice).
+Multi-host: :func:`initialize_multihost` (a ``jax.distributed.initialize``
+wrapper) + :func:`make_multihost_mesh` (DCN axis across processes, ICI axes
+within a slice) + the per-process data hooks ``local_batch_bounds`` /
+``global_batch_from_local``.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import os
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -68,3 +71,103 @@ def shard_cfg_axis(masks_stacked, mesh: Mesh, axis: str = "cfg"):
     """Shard a stacked SupernetMasks pytree's leading config axis."""
     sh = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, sh), masks_stacked)
+
+
+# ------------------------------------------------------------------ multi-host
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> bool:
+    """``jax.distributed.initialize`` wrapper: the TPU-native multi-host
+    bootstrap (SURVEY.md §5 "distributed communication backend" — DCN
+    between hosts, ICI within a slice; XLA supplies every collective).
+
+    Reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID when
+    arguments are omitted (on Cloud TPU pods, bare ``initialize()`` resolves
+    everything from the metadata server).  Returns True when a multi-process
+    runtime was initialized, False for the single-process fallback.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes in (None, 1):
+        return False  # single process — nothing to initialize
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def multihost_axes(axes: Sequence[tuple], dcn_over: str = "dp",
+                   n_processes: Optional[int] = None,
+                   n_local_devices: Optional[int] = None
+                   ) -> Tuple[Tuple[Tuple[str, int], ...],
+                              Tuple[Tuple[str, int], ...]]:
+    """Resolve (name, size) ICI axes against the LOCAL device count and pair
+    them with a DCN factorization that stretches ``dcn_over`` across
+    processes: global size(dcn_over) = n_processes * per-process size.
+
+    Pure device math (testable without a multi-process runtime)."""
+    n_processes = n_processes if n_processes is not None else jax.process_count()
+    n_local = (n_local_devices if n_local_devices is not None
+               else jax.local_device_count())
+    names = [a for a, _ in axes]
+    sizes = [s for _, s in axes]
+    assert dcn_over in names, f"{dcn_over!r} not in mesh axes {names}"
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = n_local // known
+    assert int(np.prod(sizes)) == n_local, (
+        f"ICI mesh {sizes} != {n_local} local devices")
+    ici = tuple(zip(names, sizes))
+    dcn = tuple((n, n_processes if n == dcn_over else 1) for n in names)
+    return ici, dcn
+
+
+def make_multihost_mesh(axes: Sequence[tuple] = (("dp", -1),),
+                        dcn_over: str = "dp") -> Mesh:
+    """Global mesh spanning all processes: ICI axes within each host's
+    devices, the ``dcn_over`` axis additionally multiplied across processes
+    over DCN.  Single-process falls back to :func:`make_mesh` (same axis
+    names, so sharding code is process-count agnostic)."""
+    if jax.process_count() == 1:
+        return make_mesh(axes)
+    from jax.experimental import mesh_utils
+
+    ici, dcn = multihost_axes(axes, dcn_over)
+    devices = mesh_utils.create_hybrid_device_mesh(
+        [s for _, s in ici], [s for _, s in dcn], devices=jax.devices())
+    return Mesh(devices, tuple(n for n, _ in ici))
+
+
+def local_batch_bounds(global_batch_size: int,
+                       n_processes: Optional[int] = None,
+                       process_id: Optional[int] = None) -> slice:
+    """This process's contiguous row range of a globally-sharded batch
+    (loaders feed each process its slice; ``global_batch_from_local``
+    assembles the global array)."""
+    n = n_processes if n_processes is not None else jax.process_count()
+    pid = process_id if process_id is not None else jax.process_index()
+    assert global_batch_size % n == 0, (
+        f"global batch {global_batch_size} not divisible by {n} processes")
+    per = global_batch_size // n
+    return slice(pid * per, (pid + 1) * per)
+
+
+def global_batch_from_local(mesh: Mesh, local_tree, axis: str = "dp"):
+    """Per-process local batch shards -> one global jax.Array per leaf
+    (``jax.make_array_from_process_local_data``).  Text inputs [3, B, L]
+    shard on dim 1, everything else on dim 0 (same rule as
+    :func:`shard_batch`)."""
+    def put(x):
+        if x.ndim >= 2 and x.shape[0] == 3 and x.dtype in (np.int32, np.int64):
+            spec = P(None, axis)
+        else:
+            spec = P(axis)
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(x))
+
+    return jax.tree.map(put, local_tree)

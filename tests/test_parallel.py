@@ -1,0 +1,226 @@
+"""parallel/mesh.py coverage on the conftest 8-device CPU mesh: sharded ==
+unsharded numerics for the train step (dp x mp) and the cfg-axis batched
+eval, shard_batch layout rules, and the multi-host scaffolding's device
+math / single-process fallbacks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multimodal_transformer_robustness_tpu import (
+    ActiveConfig,
+    ModelSpec,
+    build_masks,
+    full_active_config,
+    gen_active_cross,
+)
+from multimodal_transformer_robustness_tpu.masks import stack_masks
+from multimodal_transformer_robustness_tpu.models import init_supernet, supernet_apply
+from multimodal_transformer_robustness_tpu.parallel.mesh import (
+    global_batch_from_local,
+    local_batch_bounds,
+    make_mesh,
+    make_multihost_mesh,
+    multihost_axes,
+    replicate,
+    shard_batch,
+    shard_cfg_axis,
+)
+
+
+def _spec():
+    return ModelSpec(
+        modality_set=("t", "a", "v"), orig_dimensions=(16, 12, 10),
+        dimension=8, num_heads=4, head_dim=4, layers_single_attn=2,
+        layers_cross_attn=2, layers_self_attn=1,
+        attn_dropout=(0.0, 0.0, 0.0, 0.0), relu_dropout=0.0, res_dropout=0.0,
+        out_dropout=0.0, embed_dropout=0.0, attn_mask=True, output_dim=1,
+        header_overrides={"t": "rnn"})
+
+
+def _param_spec(path, x):
+    """dp x mp shardings (mirror of __graft_entry__.py): tensor-parallel over
+    attention heads and FFN hidden units."""
+    name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+    if x.ndim >= 2:
+        if "in_proj_w" in name and x.ndim == 5:
+            return P(None, None, "mp", None, None)
+        if "in_proj_b" in name and x.ndim == 4:
+            return P(None, None, "mp", None)
+        if "out_w" in name and x.ndim == 4:
+            return P(None, None, "mp", None)
+        if "fc1" in name and "w" in name and x.ndim == 3:
+            return P(None, "mp", None)
+        if "fc1" in name and name.endswith("b") and x.ndim == 2:
+            return P(None, "mp")
+        if "fc2" in name and "w" in name and x.ndim == 3:
+            return P(None, None, "mp")
+    return P()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must force the 8-device CPU mesh"
+    spec = _spec()
+    params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(0)
+    B, T = 8, 6
+    inputs = [jnp.asarray(rng.standard_normal((B, T, d)), jnp.float32)
+              for d in spec.orig_dimensions]
+    labels = jnp.asarray(rng.standard_normal((B, 1)), jnp.float32)
+    return spec, params, frozen, inputs, labels
+
+
+def _train_step_fn(spec, tx):
+    def step(params, opt_state, masks, inputs, labels):
+        def loss_fn(p):
+            preds = supernet_apply(spec, p, masks, inputs, train=False)
+            return jnp.mean(jnp.abs(preds - labels))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return jax.jit(step)
+
+
+def test_dp_mp_sharded_train_step_equals_unsharded(setup):
+    spec, params, frozen, inputs, labels = setup
+    masks = jax.tree.map(jnp.asarray, build_masks(spec, full_active_config(spec)))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    step = _train_step_fn(spec, tx)
+
+    p1, o1, l1 = step(params, tx.init(params), masks, inputs, labels)
+
+    mesh = make_mesh((("dp", 4), ("mp", 2)))
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    params_sh = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params),
+        [jax.device_put(x, NamedSharding(mesh, _param_spec(path, x)))
+         for path, x in flat])
+    inputs_sh = shard_batch(list(inputs), mesh)
+    labels_sh = shard_batch(labels, mesh)
+    masks_sh = replicate(masks, mesh)
+    p2, o2, l2 = step(params_sh, tx.init(params_sh), masks_sh, inputs_sh,
+                      labels_sh)
+
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_cfg_axis_sharded_eval_equals_unsharded(setup):
+    spec, params, frozen, inputs, labels = setup
+    r = np.random.default_rng(3)
+    cfgs = []
+    for _ in range(8):
+        am = [[0, 1], [0, 2], [1, 2], [0, 1, 2]][r.integers(0, 4)]
+        ac, aco = gen_active_cross(spec, am, rng=r)
+        cfgs.append(build_masks(spec, ActiveConfig(
+            active_modality=am, active_cross=ac, active_cross_output=aco,
+            active_single_attn_layer_num=list(r.integers(0, 3, 3)),
+            active_self_attn_layer_num=1, active_hybrid_attn_layer_num=2,
+            active_dimension=spec.dimension, active_head_num=2,
+            active_head_dim=3)))
+    stacked = jax.tree.map(jnp.asarray, stack_masks(cfgs))
+
+    @jax.jit
+    def eval_batched(params, stacked_masks, inputs):
+        return jax.vmap(
+            lambda m: supernet_apply(spec, params, m, inputs, train=False)
+        )(stacked_masks)
+
+    plain = eval_batched(params, stacked, list(inputs))
+
+    mesh = make_mesh((("cfg", 8),))
+    out_sh = eval_batched(replicate(params, mesh),
+                          shard_cfg_axis(stacked, mesh),
+                          replicate(list(inputs), mesh))
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(plain),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_shard_batch_layout_rules():
+    mesh = make_mesh((("dp", 8),))
+    text = np.stack([np.ones((8, 5), np.int64)] * 3)      # [3, B, L]
+    feats = np.ones((8, 4, 6), np.float32)                # [B, T, F]
+    tree = shard_batch({"text": text, "feats": feats}, mesh)
+    assert tree["text"].sharding.spec == P(None, "dp")
+    assert tree["feats"].sharding.spec == P("dp")
+    # every device holds B/8 rows
+    assert tree["feats"].addressable_shards[0].data.shape[0] == 1
+    assert tree["text"].addressable_shards[0].data.shape == (3, 1, 5)
+
+
+def test_multihost_axis_math():
+    ici, dcn = multihost_axes((("dp", -1), ("mp", 2)), dcn_over="dp",
+                              n_processes=4, n_local_devices=8)
+    assert ici == (("dp", 4), ("mp", 2))
+    assert dcn == (("dp", 4), ("mp", 1))
+    # global dp = 4 processes x 4 local = 16
+    assert dict(ici)["dp"] * dict(dcn)["dp"] == 16
+
+    with pytest.raises(AssertionError):
+        multihost_axes((("dp", 3),), n_processes=2, n_local_devices=8)
+
+
+def test_local_batch_bounds():
+    assert local_batch_bounds(32, n_processes=4, process_id=0) == slice(0, 8)
+    assert local_batch_bounds(32, n_processes=4, process_id=3) == slice(24, 32)
+    with pytest.raises(AssertionError):
+        local_batch_bounds(30, n_processes=4, process_id=0)
+
+
+def test_multihost_single_process_fallbacks(setup):
+    # make_multihost_mesh: single process -> plain ICI mesh, same axis names
+    mesh = make_multihost_mesh((("dp", 4), ("mp", 2)))
+    assert mesh.axis_names == ("dp", "mp")
+    assert mesh.devices.shape == (4, 2)
+
+    # global_batch_from_local: single process supplies the whole batch
+    dp_mesh = make_mesh((("dp", 8),))
+    local = {"feats": np.arange(8 * 4, dtype=np.float32).reshape(8, 4),
+             "text": np.ones((3, 8, 5), np.int64)}
+    global_tree = global_batch_from_local(dp_mesh, local)
+    assert global_tree["feats"].shape == (8, 4)
+    np.testing.assert_array_equal(np.asarray(global_tree["feats"]),
+                                  local["feats"])
+    assert global_tree["text"].sharding.spec == P(None, "dp")
+
+
+def test_initialize_multihost_single_process_noop(monkeypatch):
+    from multimodal_transformer_robustness_tpu.parallel.mesh import (
+        initialize_multihost)
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert initialize_multihost() is False
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    assert initialize_multihost() is False
+
+
+def test_batch_iterator_process_shard():
+    """Every process's shards concatenate back to the unsharded batch
+    stream (same seed => same global order)."""
+    from multimodal_transformer_robustness_tpu.data.loaders import BatchIterator
+
+    class DS:
+        inputs = [np.arange(20 * 3, dtype=np.float32).reshape(20, 3)]
+        labels = np.arange(20, dtype=np.float32).reshape(20, 1)
+
+        def __len__(self):
+            return 20
+
+    full = list(BatchIterator(DS(), 8, shuffle=True, seed=3))
+    shards = [list(BatchIterator(DS(), 8, shuffle=True, seed=3,
+                                 process_shard=(p, 4))) for p in range(4)]
+    assert len(full) == len(shards[0]) == 3
+    for b, parts in zip(full, zip(*shards)):
+        np.testing.assert_array_equal(
+            np.concatenate([p.inputs[0] for p in parts]), b.inputs[0])
+        np.testing.assert_array_equal(
+            np.concatenate([p.valid for p in parts]), b.valid)
