@@ -27,13 +27,14 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def main(batch_size=256, steps=30, warmup=2, bert_layers=4,
+def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
          compute_dtype="bfloat16", emit_json=True):
     """One measured train-throughput config.  Defaults = the headline:
-    throughput-optimal batch (256, measured sweep in BENCH_NOTES.md) with the
-    bf16 compute policy (params f32, compute bf16 — ModelSpec.compute_dtype).
-    ``main(batch_size=16, compute_dtype="float32")`` reproduces the strict
-    run.sh-parity configuration (the reference trains f32 at B=16)."""
+    throughput-optimal batch (1024, measured sweep in BENCH_NOTES.md) with
+    the bf16 compute policy (params f32, compute bf16 —
+    ModelSpec.compute_dtype).  ``main(batch_size=16,
+    compute_dtype="float32")`` reproduces the strict run.sh-parity
+    configuration (the reference trains f32 at B=16)."""
     import dataclasses
 
     import jax
