@@ -186,7 +186,8 @@ def main(argv=None):
         experiment_type=args.experiment_type, modality_pool=args.modality_pool,
         all_module=args.all_module, specific=args.specific,
         criterion=CRITERION[args.dataset], log_interval=args.log_interval,
-        seed=args.seed, dataset=args.dataset, model_path=args.model_path)
+        seed=args.seed, dataset=args.dataset, model_path=args.model_path,
+        batch_chunk=args.batch_chunk)
     trainer = Trainer(spec, params, frozen, hp, bert_cfg=bert_cfg)
 
     train_loader = BatchIterator(train_data, args.batch_size, shuffle=True,

@@ -58,6 +58,12 @@ class TrainHParams:
     seed: int = 1111
     dataset: str = "mosei_senti"
     model_path: Optional[str] = None
+    # gradient accumulation: split each batch into this many chunks, one
+    # backward per chunk, ONE optimizer step on the validity-weighted summed
+    # gradients (exactly equal to the unchunked gradients).  The reference
+    # defines --batch_chunk but never reads it (main.py:69); here it is real
+    # and makes large-batch runs memory-safe.
+    batch_chunk: int = 1
 
 
 def make_criterion(name: str) -> Callable:
@@ -160,14 +166,53 @@ class Trainer:
         # (measured: a 12 MB closure array becomes 25 MB of HLO text) — with
         # frozen BERT weights that blows past the remote compile service's
         # request-size limit (HTTP 413) and slows every compile.
+        nchunk = max(1, hp.batch_chunk)
+
+        def _chunk(x):
+            # batch-dim split; text [3, B, L] stacks chunk on a NEW leading
+            # axis so scan slices one chunk per step
+            if x.ndim >= 2 and x.shape[0] == 3 and jnp.issubdtype(
+                    x.dtype, jnp.integer):
+                return x.reshape(3, nchunk, -1, *x.shape[2:]).swapaxes(0, 1)
+            return x.reshape(nchunk, -1, *x.shape[1:])
+
         def train_step(params, opt_state, frozen, masks, inputs, labels,
                        valid, key):
-            def loss_fn(p):
-                preds = spec_apply(p, masks, inputs, frozen=frozen,
-                                   bert_cfg=self.bert_cfg, train=True, rng=key)
-                return self.criterion(preds, labels, valid)
+            if nchunk == 1:
+                def loss_fn(p):
+                    preds = spec_apply(p, masks, inputs, frozen=frozen,
+                                       bert_cfg=self.bert_cfg, train=True,
+                                       rng=key)
+                    return self.criterion(preds, labels, valid)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+            else:
+                # gradient accumulation: per-chunk SUM losses (weighted-mean
+                # criterion * chunk valid count) accumulate, then divide by
+                # the total valid count — bitwise-equivalent semantics to
+                # the unchunked weighted mean
+                def loss_sum_fn(p, inp, lab, val, k):
+                    preds = spec_apply(p, masks, list(inp), frozen=frozen,
+                                       bert_cfg=self.bert_cfg, train=True,
+                                       rng=k)
+                    return self.criterion(preds, lab, val) * jnp.sum(val)
+
+                xs = (tuple(_chunk(x) for x in inputs), _chunk(labels),
+                      _chunk(valid), jax.random.split(key, nchunk))
+
+                def body(carry, x):
+                    g_acc, l_acc = carry
+                    inp, lab, val, k = x
+                    l, g = jax.value_and_grad(loss_sum_fn)(params, inp, lab,
+                                                           val, k)
+                    return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
+
+                init = (jax.tree.map(jnp.zeros_like, params),
+                        jnp.zeros((), jnp.float32))
+                (g_sum, l_sum), _ = jax.lax.scan(body, init, xs)
+                tot = jnp.maximum(jnp.sum(valid), 1.0)
+                grads = jax.tree.map(lambda g: g / tot, g_sum)
+                loss = l_sum / tot
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
