@@ -1,0 +1,123 @@
+"""EA fitness at reference scale: generation wall-clock on the chip.
+
+The reference's EvolutionSearch evaluates each genome with a FULL
+validation pass (EA.py:93-137, 149-169): population 100 x 200 generations
+= 20k validation epochs, serial.  Ours stacks the whole generation on a
+config axis and evaluates it in one dispatch per data batch
+(train/ea.py::eval_population).  This benchmark runs the reference-default
+population on the MOSEI-size model and records:
+  (a) seed + per-generation wall-clock (batched fitness);
+  (b) a measured serial-fitness estimate (same jitted eval step, one
+      genome at a time) extrapolated to the population.
+
+Mirrors sweep_bench.py conventions (RNN text header: BERT is a frozen
+feature extractor, identical work on both sides; the EA cost is the
+supernet).  Appends one JSON line to stdout; paste into BENCH_NOTES.md.
+
+Run on the TPU: ``python benchmarks/ea_bench.py [--population 100]``
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows", type=int, default=1871)
+    p.add_argument("--dim", type=int, default=200)
+    p.add_argument("--eval_batch", type=int, default=256)
+    p.add_argument("--population", type=int, default=100)
+    p.add_argument("--generations", type=int, default=3)
+    p.add_argument("--serial_probe", type=int, default=4,
+                   help="genomes to time serially for the estimate")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from multimodal_transformer_robustness_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    from multimodal_transformer_robustness_tpu import ModelSpec
+    from multimodal_transformer_robustness_tpu.data.loaders import (
+        ArrayDataset, BatchIterator)
+    from multimodal_transformer_robustness_tpu.models import init_supernet
+    from multimodal_transformer_robustness_tpu.train import TrainHParams, Trainer
+    from multimodal_transformer_robustness_tpu.train.ea import (
+        EAHParams, EvolutionSearch)
+
+    spec = ModelSpec(
+        modality_set=("t", "a", "v"), orig_dimensions=(768, 768, 512),
+        dimension=args.dim, num_heads=8, head_dim=25, layers_single_attn=3,
+        layers_cross_attn=4, layers_self_attn=2,
+        attn_dropout=(0.1, 0.1, 0.0, 0.0), relu_dropout=0.1, res_dropout=0.3,
+        out_dropout=0.1, embed_dropout=0.3, attn_mask=True, output_dim=1,
+        header_overrides={"t": "rnn"})
+    params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
+
+    rng = np.random.default_rng(0)
+    T = 50
+    ds = ArrayDataset(
+        [rng.standard_normal((args.rows, T, d)).astype(np.float32)
+         for d in spec.orig_dimensions],
+        rng.standard_normal((args.rows, 1)).astype(np.float32),
+        dims=list(spec.orig_dimensions), seq_len=T)
+    valid = BatchIterator(ds, args.eval_batch)
+    test = BatchIterator(ds, args.eval_batch)
+
+    hp = TrainHParams(dataset="mosei_senti", criterion="L1Loss",
+                      experiment_type="random_sample")
+    trainer = Trainer(spec, params, frozen, hp)
+    ea = EvolutionSearch(
+        trainer,
+        EAHParams(population_size=args.population,
+                  max_time_budget=args.generations),
+        active_modality=[0, 1, 2], valid_loader=valid, test_loader=test)
+
+    # ---- batched generations (the search loop, timed per generation) ------
+    genomes = [ea.random_genome() for _ in range(args.population)]
+    t0 = time.time()
+    accs = ea.eval_population(genomes)          # seed generation (compiles)
+    seed_s = time.time() - t0
+    gen_times = []
+    for _ in range(args.generations):
+        children = [ea.mutate(genomes[int(i)])
+                    for i in np.random.default_rng(1).integers(
+                        0, args.population, args.population)]
+        t0 = time.time()
+        ea.eval_population(children)
+        gen_times.append(time.time() - t0)
+
+    # ---- serial estimate (same jitted step, one genome at a time) ---------
+    t0 = time.time()
+    for g in genomes[:args.serial_probe]:
+        ea.get_acc(g)
+    serial_per_genome = (time.time() - t0) / args.serial_probe
+    serial_gen_est = serial_per_genome * args.population
+
+    gen_s = float(np.mean(gen_times))
+    print(json.dumps({
+        "metric": "mosei_ea_generation_wall_clock",
+        "population": args.population,
+        "rows": args.rows,
+        "seed_generation_s": round(seed_s, 2),
+        "batched_generation_s": round(gen_s, 2),
+        "serial_per_genome_s": round(serial_per_genome, 3),
+        "serial_generation_est_s": round(serial_gen_est, 1),
+        "speedup_vs_serial_jax": round(serial_gen_est / gen_s, 2),
+        "reference_default_search_est_h_batched": round(
+            gen_s * 200 / 3600, 3),
+        "reference_default_search_est_h_serial_jax": round(
+            serial_gen_est * 200 / 3600, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
