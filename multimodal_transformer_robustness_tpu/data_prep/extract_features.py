@@ -15,6 +15,47 @@ from __future__ import annotations
 import argparse
 import csv
 import os
+from typing import Callable, List, Sequence
+
+
+def extract_and_shard(rows: Sequence[dict], out_dir: str, split: str,
+                      audio_features: Callable, vision_features: Callable,
+                      start: int = 0, shard_every: int = 100,
+                      verbose: bool = True) -> List[str]:
+    """The extraction loop, extractor-agnostic (testable without torchaudio/
+    facenet — the real extractors are injected by :func:`main`).
+
+    Reproduces the reference's sharding quirks exactly
+    (data_prep/extract_features.py:66-80): a shard is written at every index
+    divisible by ``shard_every`` EXCEPT index 0 (so the first shard holds
+    ``shard_every + 1`` records), shard files are named by the flush index,
+    and the tail flushes as ``processed_data_{split}{len(rows)}.pt``.
+    Returns the written paths.
+    """
+    import torch
+
+    written: List[str] = []
+    processed = []
+    for i in range(start, len(rows)):
+        name = rows[i]["name"]
+        if verbose:
+            print(i, name)
+        audio, transcript = audio_features(name)
+        vision = vision_features(name)
+        if not vision and verbose:
+            print(name, "vision feature is empty!!!")
+        processed.append([name, float(rows[i]["sentiment"]), vision,
+                          transcript, audio])
+        if i % shard_every == 0 and i > 0:
+            path = os.path.join(out_dir, f"processed_data_{split}{i}.pt")
+            torch.save(processed, path)
+            written.append(path)
+            processed = []
+    if processed:
+        path = os.path.join(out_dir, f"processed_data_{split}{len(rows)}.pt")
+        torch.save(processed, path)
+        written.append(path)
+    return written
 
 
 def main(argv=None):
@@ -68,23 +109,8 @@ def main(argv=None):
             success, img = cap.read()
         return frames
 
-    processed = []
-    for i in range(args.start, len(rows)):
-        name = rows[i]["name"]
-        print(i, name)
-        audio, transcript = audio_features(name)
-        vision = vision_features(name)
-        if not vision:
-            print(name, "vision feature is empty!!!")
-        processed.append([name, float(rows[i]["sentiment"]), vision,
-                          transcript, audio])
-        if i % 100 == 0 and i > 0:
-            torch.save(processed, os.path.join(
-                args.out_dir, f"processed_data_{args.split}{i}.pt"))
-            processed = []
-    if processed:
-        torch.save(processed, os.path.join(
-            args.out_dir, f"processed_data_{args.split}{len(rows)}.pt"))
+    extract_and_shard(rows, args.out_dir, args.split,
+                      audio_features, vision_features, start=args.start)
 
 
 if __name__ == "__main__":

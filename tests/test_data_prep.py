@@ -83,3 +83,54 @@ def test_process_clip_splitting(tmp_path):
     cap = cv2.VideoCapture(str(video_out / f"{name}_01.mp4"))
     n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     assert 25 <= n <= 35  # ~1s at 30fps (reference's +-1 frame slop)
+
+
+def test_extract_and_shard_roundtrips_through_mosei_loader(tmp_path):
+    """extract_features' shard loop (with fake extractors injected in place
+    of torchaudio/facenet, which aren't installed here) writes shards that
+    our MOSEI loader reads back: record format, shard naming quirk (first
+    shard holds shard_every+1 records), empty-vision drop."""
+    import numpy as np
+    import torch
+
+    from multimodal_transformer_robustness_tpu.data_prep.extract_features import (
+        extract_and_shard)
+    from multimodal_transformer_robustness_tpu.data.mosei import MoseiDataset
+
+    rng = np.random.default_rng(0)
+
+    def make_rows(n):
+        return [{"name": f"clip{i}", "sentiment": str(rng.uniform(-3, 3))}
+                for i in range(n)]
+
+    def audio_features(name):
+        t = 4 + int(name[4:]) % 5
+        return torch.randn(1, t, 768), ["hello", "world", name]
+
+    def vision_features(name):
+        if name == "clip3":
+            return []  # the loader must drop this record
+        return [torch.randn(1, 512) for _ in range(3)]
+
+    # sharding quirk: flush at every index divisible by shard_every EXCEPT 0
+    # (first shard holds shard_every+1 records), tail named by len(rows)
+    quirk_dir = tmp_path / "quirk"
+    quirk_dir.mkdir()
+    written = extract_and_shard(make_rows(8), str(quirk_dir), "train",
+                                audio_features, vision_features,
+                                shard_every=3, verbose=False)
+    names = [os.path.basename(w) for w in written]
+    assert names == ["processed_data_train3.pt", "processed_data_train6.pt",
+                     "processed_data_train8.pt"]
+    assert len(torch.load(written[0], weights_only=False)) == 4
+
+    # loader round-trip at the real shard granularity (multiples of 100)
+    out = tmp_path / "shards"
+    out.mkdir()
+    written = extract_and_shard(make_rows(101), str(out), "train",
+                                audio_features, vision_features,
+                                shard_every=100, verbose=False)
+    assert [os.path.basename(w) for w in written] == [
+        "processed_data_train100.pt"]
+    ds = MoseiDataset(str(out), "train")
+    assert len(ds) == 100  # 101 records minus the empty-vision clip3
