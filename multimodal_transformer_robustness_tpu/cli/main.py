@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn_impl", choices=["xla", "flash"], default="xla",
                    help="eval-mode attention implementation; 'flash' routes "
                         "through the fused Pallas kernel")
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="bfloat16 = TPU mixed-precision training (f32 master "
+                        "params, bf16 compute; f32 softmax/LN moments). "
+                        "Measured ~1.3-1.4x train throughput at large batch; "
+                        "tolerance story in tests/test_bf16_policy.py")
     p.add_argument("--eeg_train_ratio", type=float, default=0.8)
     p.add_argument("--eeg_train_files", type=str, nargs="*", default=None)
     p.add_argument("--eeg_test_files", type=str, nargs="*", default=None)
@@ -140,7 +146,7 @@ def main(argv=None):
         res_dropout=args.res_dropout, out_dropout=args.out_dropout,
         embed_dropout=args.embed_dropout, attn_mask=args.attn_mask,
         output_dim=OUTPUT_DIM[args.dataset], all_steps=all_steps,
-        attn_impl=args.attn_impl)
+        attn_impl=args.attn_impl, compute_dtype=args.compute_dtype)
 
     print("orig_d:", orig_d)
     print("attn_dropout:", list(spec.attn_dropout))
