@@ -28,13 +28,21 @@ sys.path.insert(0, REPO)
 
 
 def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
-         compute_dtype="bfloat16", emit_json=True):
+         compute_dtype="bfloat16", cached_text=False, emit_json=True):
     """One measured train-throughput config.  Defaults = the headline:
     throughput-optimal batch (1024, measured sweep in BENCH_NOTES.md) with
     the bf16 compute policy (params f32, compute bf16 —
     ModelSpec.compute_dtype).  ``main(batch_size=16,
     compute_dtype="float32")`` reproduces the strict run.sh-parity
-    configuration (the reference trains f32 at B=16)."""
+    configuration (the reference trains f32 at B=16).
+
+    ``cached_text=True`` measures the --cache_text pipeline (frozen-BERT
+    features precomputed once per dataset, train/features.py): the steady-
+    state train step consumes [B, L, 768] features instead of token stacks.
+    Semantically exact (tests/test_cached_text.py) and the per-sample
+    extraction cost amortizes over every epoch/sweep/EA reuse, but it is a
+    different pipeline than the reference's recompute-every-step — both
+    numbers are recorded in BENCH_NOTES.md."""
     import dataclasses
 
     import jax
@@ -66,6 +74,17 @@ def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
     vision = jnp.asarray(rng.standard_normal((B, T, 512)), jnp.float32)
     labels = jnp.asarray(rng.standard_normal((B, 1)), jnp.float32)
     inputs = [text, audio, vision]
+    if cached_text:
+        from multimodal_transformer_robustness_tpu.train.features import (
+            precompute_text_features)
+
+        t0 = time.time()
+        feats = precompute_text_features(frozen, bert_cfg, np.asarray(text),
+                                         batch_size=min(B, 1024))
+        print(f"text-feature precompute: {time.time() - t0:.2f} s for "
+              f"{B} rows (once per dataset, amortized over all epochs)",
+              file=sys.stderr)
+        inputs = [jnp.asarray(feats), audio, vision]
 
     criterion = make_criterion("L1Loss")
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
@@ -147,4 +166,15 @@ def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--bert_layers", type=int, default=4)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--cached_text", action="store_true")
+    a = ap.parse_args()
+    main(batch_size=a.batch, steps=a.steps, bert_layers=a.bert_layers,
+         compute_dtype=a.dtype, cached_text=a.cached_text)

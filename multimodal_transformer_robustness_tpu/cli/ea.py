@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--layers_cross_attn", type=int, default=4)
     p.add_argument("--layers_self_attn", type=int, default=2)
     p.add_argument("--max_shards", type=int, default=None)
+    p.add_argument("--cache_text", action="store_true",
+                   help="precompute frozen-BERT text features once per "
+                        "dataset (see cli/main.py --cache_text); EA fitness "
+                        "re-evaluates the SAME validation set every "
+                        "generation, so the extractor amortizes to zero")
     return p
 
 
@@ -86,6 +91,13 @@ def main(argv=None):
                 spec, load_reference_pickle(args.model_path))
         else:
             params, _ = load_checkpoint(args.model_path)
+
+    if args.cache_text and "bert" in frozen:
+        from ..train.features import CachedTextDataset
+
+        print("Precomputing frozen-BERT text features (--cache_text)....")
+        valid_data = CachedTextDataset(valid_data, frozen, bert_cfg)
+        test_data = CachedTextDataset(test_data, frozen, bert_cfg)
 
     trainer = Trainer(spec, params, frozen,
                       TrainHParams(dataset=args.dataset, criterion="L1Loss"),

@@ -83,6 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "params, bf16 compute; f32 softmax/LN moments). "
                         "Measured ~1.3-1.4x train throughput at large batch; "
                         "tolerance story in tests/test_bf16_policy.py")
+    p.add_argument("--cache_text", action="store_true",
+                   help="precompute frozen-BERT text features once per "
+                        "dataset and train/eval on them (exact: BERT is "
+                        "frozen and deterministic; missing-text eval "
+                        "substitutes the precomputed BERT(zero-tokens) row). "
+                        "Removes ~half the train-step cost at the MOSEI "
+                        "config — see train/features.py")
     p.add_argument("--eeg_train_ratio", type=float, default=0.8)
     p.add_argument("--eeg_train_files", type=str, nargs="*", default=None)
     p.add_argument("--eeg_test_files", type=str, nargs="*", default=None)
@@ -186,6 +193,18 @@ def main(argv=None):
         else:
             params, _ = load_checkpoint(args.pretrain)
 
+    zero_rows = None
+    if args.cache_text and "bert" in frozen:
+        from ..train.features import CachedTextDataset
+
+        print("Precomputing frozen-BERT text features (--cache_text)....")
+        train_data = CachedTextDataset(train_data, frozen, bert_cfg)
+        valid_data = CachedTextDataset(valid_data, frozen, bert_cfg)
+        test_data = CachedTextDataset(test_data, frozen, bert_cfg)
+        zero_rows = train_data.zero_fill_rows()  # eval loaders carry their
+        #                                          own rows (Trainer resolves
+        #                                          per loader)
+
     hp = TrainHParams(
         batch_size=args.batch_size, lr=args.lr, optim=args.optim,
         clip=args.clip, num_epochs=args.num_epochs, when=args.when,
@@ -194,7 +213,8 @@ def main(argv=None):
         criterion=CRITERION[args.dataset], log_interval=args.log_interval,
         seed=args.seed, dataset=args.dataset, model_path=args.model_path,
         batch_chunk=args.batch_chunk)
-    trainer = Trainer(spec, params, frozen, hp, bert_cfg=bert_cfg)
+    trainer = Trainer(spec, params, frozen, hp, bert_cfg=bert_cfg,
+                      zero_fill_rows=zero_rows)
 
     train_loader = BatchIterator(train_data, args.batch_size, shuffle=True,
                                  seed=args.seed)

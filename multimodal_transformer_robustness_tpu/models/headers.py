@@ -146,6 +146,22 @@ def init_header(rng: jax.Array, spec: ModelSpec, i: int,
     return {"rnn": _init_rnn_header(rng, orig, d)}
 
 
+def bert_text_features(frozen: dict, bert_cfg: Optional[bert_mod.BertConfig],
+                       x: jnp.ndarray) -> jnp.ndarray:
+    """[3, B, L] stacked token tensor -> [B, L, H] frozen-BERT last hidden
+    states.  One definition serves the online header path AND the
+    feature-precompute path (train/features.py) so the replicated reference
+    quirk — slot 1 of the stack is used as the attention mask
+    (dynamic_models2.py:49, see module docstring) — cannot diverge."""
+    ids = x[0].astype(jnp.int32)
+    attn_mask = x[1].astype(jnp.float32)
+    type_ids = x[2].astype(jnp.int32)
+    hidden = bert_mod.bert_apply(frozen["bert"], ids, attn_mask, type_ids,
+                                 bert_cfg or bert_mod.BertConfig())
+    return jax.lax.stop_gradient(hidden)  # frozen (torch.no_grad at
+    #                                       dynamic_models2.py:50)
+
+
 def header_apply(kind: str, params: dict, x: jnp.ndarray,
                  frozen: Optional[dict] = None,
                  bert_cfg: Optional[bert_mod.BertConfig] = None) -> jnp.ndarray:
@@ -155,15 +171,15 @@ def header_apply(kind: str, params: dict, x: jnp.ndarray,
         feats = _cnn_apply(params["cnn"], x)
         return _rnn_header_apply(params["rnn"], feats)
     if kind == "bert_rnn":
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            # precomputed frozen-BERT features [B, L, H] (train/features.py).
+            # The reference freezes BERT (dynamic_models2.py:50) so its
+            # output is a deterministic function of the tokens; running it
+            # once per dataset instead of once per step is SURVEY §7.4's
+            # "feature-extractor stage of the input pipeline".  Dtype is the
+            # static dispatch: token stacks are int, features are float.
+            return _rnn_header_apply(params["rnn"], x)
         assert frozen is not None and "bert" in frozen, "text modality needs frozen BERT params"
-        ids = x[0].astype(jnp.int32)
-        # replicated reference quirk (see module docstring): slot 1 of the
-        # stacked text tensor is used as the attention mask
-        attn_mask = x[1].astype(jnp.float32)
-        type_ids = x[2].astype(jnp.int32)
-        hidden = bert_mod.bert_apply(frozen["bert"], ids, attn_mask, type_ids,
-                                     bert_cfg or bert_mod.BertConfig())
-        hidden = jax.lax.stop_gradient(hidden)  # frozen (torch.no_grad at
-        #                                         dynamic_models2.py:50)
-        return _rnn_header_apply(params["rnn"], hidden)
+        return _rnn_header_apply(params["rnn"],
+                                 bert_text_features(frozen, bert_cfg, x))
     return _rnn_header_apply(params["rnn"], x)

@@ -113,13 +113,23 @@ class ReduceLROnPlateau:
         return self.lr
 
 
-def _zero_fill(inputs: List[jnp.ndarray], flags: jnp.ndarray) -> List[jnp.ndarray]:
+def _zero_fill(inputs: List[jnp.ndarray], flags: jnp.ndarray,
+               fill_rows: Optional[dict] = None) -> List[jnp.ndarray]:
     """Zero-out modalities whose flag is 0 (train.py:218 replaces missing
     inputs by zero tensors).  Works for float features and int token ids
-    (zeros == pad id)."""
+    (zeros == pad id).
+
+    ``fill_rows`` (modality index -> [.., feat] row) substitutes a
+    precomputed row instead of zeros: the cached-text pipeline
+    (train/features.py) must reproduce what the online pipeline computes
+    from a ZERO-TOKEN input — BERT(zeros), which is non-zero."""
     out = []
     for i, x in enumerate(inputs):
-        out.append((x * flags[i].astype(x.dtype)).astype(x.dtype))
+        y = x * flags[i].astype(x.dtype)
+        if fill_rows and i in fill_rows:
+            row = jnp.asarray(fill_rows[i]).astype(x.dtype)
+            y = y + (1.0 - flags[i]).astype(x.dtype) * row[None]
+        out.append(y.astype(x.dtype))
     return out
 
 
@@ -143,13 +153,20 @@ class Trainer:
     }
 
     def __init__(self, spec: ModelSpec, params, frozen: dict,
-                 hp: TrainHParams, bert_cfg: Optional[BertConfig] = None):
+                 hp: TrainHParams, bert_cfg: Optional[BertConfig] = None,
+                 zero_fill_rows: Optional[dict] = None):
+        """``zero_fill_rows``: per-modality substitute rows for missing-
+        modality eval when that modality's input is precomputed features
+        (CachedTextDataset.zero_fill_rows()) — see _zero_fill."""
         assert hp.optim in self.OPTIMIZERS, (
             f"unknown optimizer {hp.optim!r}; known: {sorted(self.OPTIMIZERS)}")
         self.spec = spec
         self.hp = hp
         self.frozen = frozen
         self.bert_cfg = bert_cfg
+        # device-resident closure constants (~L*H floats — small)
+        self._fill_rows = {i: jnp.asarray(r, jnp.float32)
+                           for i, r in (zero_fill_rows or {}).items()} or None
         self.criterion = make_criterion(hp.criterion)
         self.scheduler = ReduceLROnPlateau(hp.lr, patience=hp.when)
         self.tx = optax.inject_hyperparams(self._make_tx)(learning_rate=hp.lr)
@@ -217,8 +234,13 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        def eval_step(params, frozen, masks, inputs, zero_flags):
-            return spec_apply(params, masks, _zero_fill(list(inputs), zero_flags),
+        # fill_rows is an explicit jit argument (a {modality: row} dict or
+        # None): each split's cached-text dataset carries its own row (the
+        # BERT(zeros) features depend on the split's sentence cap L), so the
+        # rows resolve per LOADER at evaluate() time, not per Trainer
+        def eval_step(params, frozen, masks, inputs, zero_flags, fill_rows):
+            return spec_apply(params, masks,
+                              _zero_fill(list(inputs), zero_flags, fill_rows),
                               frozen=frozen, bert_cfg=self.bert_cfg,
                               train=False)
 
@@ -228,15 +250,17 @@ class Trainer:
         # robustness sweep / EA fitness axis (replaces the reference's serial
         # full-validation passes, train.py:352-370)
         self._eval_step_batched = jax.jit(
-            jax.vmap(eval_step, in_axes=(None, None, 0, None, None)))
+            jax.vmap(eval_step, in_axes=(None, None, 0, None, None, None)))
         # whole-grid eval: ALL stacked configs in ONE dispatch, chunked
         # device-side by lax.map(batch_size=cfg_chunk) — on a remote-tunnel
         # backend, per-chunk dispatch/transfer dominates otherwise
         self.cfg_chunk = 32
 
-        def eval_step_sweep(params, frozen, stacked_masks, inputs, zero_flags):
+        def eval_step_sweep(params, frozen, stacked_masks, inputs, zero_flags,
+                            fill_rows):
             return jax.lax.map(
-                lambda m: eval_step(params, frozen, m, inputs, zero_flags),
+                lambda m: eval_step(params, frozen, m, inputs, zero_flags,
+                                    fill_rows),
                 stacked_masks, batch_size=self.cfg_chunk)
 
         self._eval_step_sweep = jax.jit(eval_step_sweep)
@@ -247,16 +271,35 @@ class Trainer:
         return self._train_step(params, opt_state, self.frozen, masks, inputs,
                                 labels, valid, key)
 
-    def eval_step(self, params, masks, inputs, zero_flags):
-        return self._eval_step(params, self.frozen, masks, inputs, zero_flags)
+    def eval_step(self, params, masks, inputs, zero_flags, fill_rows=None):
+        return self._eval_step(params, self.frozen, masks, inputs, zero_flags,
+                               fill_rows if fill_rows is not None
+                               else self._fill_rows)
 
-    def eval_step_batched(self, params, stacked_masks, inputs, zero_flags):
+    def eval_step_batched(self, params, stacked_masks, inputs, zero_flags,
+                          fill_rows=None):
         return self._eval_step_batched(params, self.frozen, stacked_masks,
-                                       inputs, zero_flags)
+                                       inputs, zero_flags,
+                                       fill_rows if fill_rows is not None
+                                       else self._fill_rows)
 
-    def eval_step_sweep(self, params, stacked_masks, inputs, zero_flags):
+    def eval_step_sweep(self, params, stacked_masks, inputs, zero_flags,
+                        fill_rows=None):
         return self._eval_step_sweep(params, self.frozen, stacked_masks,
-                                     inputs, zero_flags)
+                                     inputs, zero_flags,
+                                     fill_rows if fill_rows is not None
+                                     else self._fill_rows)
+
+    @staticmethod
+    def loader_fill_rows(loader) -> Optional[dict]:
+        """Zero-fill substitute rows carried by a loader's dataset
+        (CachedTextDataset), as device arrays; None otherwise."""
+        getter = getattr(getattr(loader, "dataset", None),
+                         "zero_fill_rows", None)
+        if getter is None:
+            return None
+        return {i: jnp.asarray(r, jnp.float32)
+                for i, r in getter().items()}
 
     def _make_tx(self, learning_rate):
         return optax.chain(
@@ -325,10 +368,12 @@ class Trainer:
             flags[i] = 1.0
         flags = jnp.asarray(flags)
         masks = jax.tree.map(jnp.asarray, masks)
+        fill_rows = self.loader_fill_rows(loader) or self._fill_rows
         preds_all, truth_all = [], []
         for batch in loader:
             inputs = [jnp.asarray(x) for x in batch.inputs]
-            preds = self.eval_step(self.params, masks, inputs, flags)
+            preds = self.eval_step(self.params, masks, inputs, flags,
+                                   fill_rows)
             keep = batch.valid > 0
             preds_all.append(np.asarray(preds)[keep])
             truth_all.append(np.asarray(batch.labels)[keep])

@@ -48,6 +48,21 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference tree not present")
 
 
+@pytest.fixture(autouse=True)
+def _no_cross_dropout_quirk(monkeypatch):
+    """The oracle must be deterministic on BOTH stacks.  All --*_dropout
+    rates in _spec() are 0, but the reference hard-codes 0.1 train-mode
+    attention dropout on cross stacks idx>0 (dynamic_models2.py:201-207, a
+    quirk we replicate via ModelSpec.attn_dropout_for_cross) and draws it
+    from torch's UNSEEDED global RNG — elementwise parity then fails on a
+    coin flip (observed: same test passes/fails across processes; the
+    reference forward's rng state advances every call).  Patch the quirk to
+    0 on our side and run the reference module in eval() (dropout rates are
+    otherwise all zero, so eval == deterministic train)."""
+    monkeypatch.setattr(ModelSpec, "attn_dropout_for_cross",
+                        lambda self, idx: 0.0)
+
+
 def _spec():
     return ModelSpec(
         modality_set=("a", "v"), orig_dimensions=(6, 4), dimension=8,
@@ -112,7 +127,9 @@ def _build_stacks(torch, spec):
     sd = export_torch_state_dict(spec, params)
     ref.load_state_dict({k: torch.from_numpy(np.array(v))
                          for k, v in sd.items()}, strict=False)
-    ref.train()  # all dropout rates are 0, so train mode is deterministic
+    ref.eval()  # deterministic: kills the hard-coded cross-stack train-mode
+    #             dropout (see _no_cross_dropout_quirk); every configured
+    #             rate is 0, so eval-mode numerics == dropout-free train
     return params, frozen, ref
 
 
