@@ -63,8 +63,8 @@ def _group_rates(spec: ModelSpec, group: str) -> Tuple[float, ...]:
 
     Cross stacks with index > 0 always run at the reference's hard-coded 0.1
     (dynamic_models2.py:201-207 via ``attn_dropout_for_cross``) even when the
-    --attn_dropout flags are all zero — the flash-train gate must see those
-    effective rates, not the raw flag values."""
+    --attn_dropout flags are all zero — the flash zero-rate hint must see
+    those effective rates, not the raw flag values."""
     if group == "mems0":
         return tuple(spec.attn_dropout[:spec.modality_num])
     if group == "cross":
@@ -75,25 +75,27 @@ def _group_rates(spec: ModelSpec, group: str) -> Tuple[float, ...]:
 
 
 def _hp_stream(spec: ModelSpec, layers: int, group: str) -> EncoderHParams:
-    # flash kernel has no in-softmax dropout; only train through it when
-    # every stack in this vmapped group has zero effective attention dropout
-    flash_ok = all(r == 0.0 for r in _group_rates(spec, group))
+    # static hint: a group whose every stack has zero effective attention
+    # dropout skips the flash kernel's in-kernel dropout machinery; groups
+    # with nonzero rates (e.g. cross idx>0's hard-coded 0.1) train through
+    # the kernel's fused position-hash dropout
+    zero = all(r == 0.0 for r in _group_rates(spec, group))
     return EncoderHParams(
         embed_dim_in=spec.dimension, num_heads=spec.num_heads,
         head_dim=spec.head_dim, layers=layers,
         relu_dropout=spec.relu_dropout, res_dropout=spec.res_dropout,
         embed_dropout=spec.embed_dropout, attn_mask=spec.attn_mask,
-        attn_impl=spec.attn_impl, flash_train=flash_ok)
+        attn_impl=spec.attn_impl, flash_zero_rates=zero)
 
 
 def _hp_top(spec: ModelSpec) -> EncoderHParams:
-    flash_ok = all(r == 0.0 for r in _group_rates(spec, "top"))
+    zero = all(r == 0.0 for r in _group_rates(spec, "top"))
     return EncoderHParams(
         embed_dim_in=spec.top_dim, num_heads=spec.num_heads,
         head_dim=spec.head_dim, layers=spec.layers_self_attn,
         relu_dropout=spec.relu_dropout, res_dropout=spec.res_dropout,
         embed_dropout=spec.embed_dropout, attn_mask=spec.attn_mask,
-        attn_impl=spec.attn_impl, flash_train=flash_ok)
+        attn_impl=spec.attn_impl, flash_zero_rates=zero)
 
 
 def init_supernet(

@@ -81,6 +81,7 @@ def multihead_attention(
     rng: Optional[jax.Array] = None,
     impl: str = "xla",                  # "xla" | "flash" (Pallas kernel)
     causal_offset: Optional[int] = None,  # flash path: future-mask offset
+    flash_dropout: bool = False,        # flash path: fuse in-softmax dropout
 ) -> jnp.ndarray:
     w_in = params["in_proj_w"]
     b_in = params["in_proj_b"]
@@ -102,16 +103,27 @@ def multihead_attention(
 
     if impl == "flash":
         # fused Pallas path (see attention_pallas.py; differentiable via the
-        # custom VJP in attention_pallas_bwd.py).  No in-softmax dropout:
-        # callers route here in training only when attention dropout is 0.
-        # attn_bias must be the structural future mask, expressed as offset.
+        # custom VJP in attention_pallas_bwd.py).  In-softmax dropout is
+        # fused into the kernel (position-hash mask, torch dropout-after-
+        # softmax semantics) when ``flash_dropout`` and training; the draw
+        # REALIZATIONS differ from the XLA path's jax.random stream (as
+        # torch's differ from both) — distribution, not stream, is the
+        # contract.  attn_bias must be the structural future mask (offset).
         from .attention_pallas import flash_attention
 
+        do_seeds = do_rates = None
+        if flash_dropout and train:
+            assert rng is not None, "training-mode dropout needs an rng"
+            bh = query.shape[0] * w_in.shape[1]
+            do_seeds = jax.random.randint(rng, (bh,), 0, 2**31 - 1,
+                                          dtype=jnp.int32)
+            do_rates = jnp.full((bh,), attn_dropout, jnp.float32)
         attn = flash_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
             causal=causal_offset is not None,
             offset=causal_offset if causal_offset is not None else 1,
+            dropout_seeds=do_seeds, dropout_rates=do_rates,
         ).transpose(0, 2, 1, 3)
         out = jnp.einsum("bqhd,ehd->bqe", attn, params["out_w"],
                          preferred_element_type=jnp.float32)

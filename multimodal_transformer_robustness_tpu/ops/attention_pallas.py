@@ -20,12 +20,27 @@ Written blockwise so sequence length scales past the current 1-token regime
 sequence-preserving header variants and any long-context extension).
 
 Differentiable: a custom VJP (ops/attention_pallas_bwd.py) recomputes the
-blockwise softmax from the saved log-sum-exp, so training can run through the
-kernel — but the kernel has NO in-softmax dropout, so training use is gated
-to stacks whose effective attention-dropout rate is zero (including the
-reference's hard-coded 0.1 on cross stacks idx>0 — see models/mult.py
-``_group_rates``).  Stacks with nonzero rates keep the XLA path (exact
-dropout semantics).
+blockwise softmax from the saved log-sum-exp, so training can run through
+the kernel.
+
+In-softmax DROPOUT (the reference applies ``F.dropout`` to the softmax
+weights, modules/dynamic_multihead_attention.py:111) is fused into the
+kernel: the keep/drop decision for attention weight (row, col) is a pure
+counter-based hash of ``(per-(batch·head) seed, global row, global col)``
+(murmur3 finalizer — `_dropout_uniform`), so
+  * the forward and BOTH backward kernels regenerate bit-identical masks
+    with no [Tq, Tk] mask tensor in HBM and no cross-kernel state;
+  * the mask is independent of the block decomposition (global positions),
+    so any blk_q/blk_k pairing of fwd and bwd agrees;
+  * the softmax NORMALIZER stays dropout-free (torch drops AFTER the
+    softmax): ``l`` accumulates raw ``p``; only the value accumulation sees
+    ``keep * p / (1 - rate)``.
+The flash ``delta = rowsum(dO · O)`` backward identity survives dropout
+unchanged: with ``A = M∘P`` (M the inverted-dropout mask), ``Σ_k P∘dP =
+Σ_k A∘(dO Vᵀ) = dO·O`` row-wise, so ``dS = P ∘ (M∘(dO Vᵀ) − delta)``.
+Draw realizations differ from the XLA path's ``jax.random.bernoulli`` (as
+torch's differ from both) — the distribution, not the stream, is the
+contract.
 """
 
 from __future__ import annotations
@@ -44,9 +59,51 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
-                  l_ref, *, blk_q: int, blk_k: int, tk: int, causal: bool,
-                  offset: int):
+def _i32(c: int) -> jnp.int32:
+    """int32 literal from a uint32 bit pattern (two's complement wrap)."""
+    return jnp.int32(c - (1 << 32) if c >= (1 << 31) else c)
+
+
+def _hash_uniform(seed, rows, cols):
+    """Counter-based uniform in [0, 1): murmur3 fmix32 of
+    ``seed ^ row·P1 ^ col·P2``.  Plain int32 jnp ops (wraparound multiply +
+    logical shifts) so the SAME function runs inside Pallas kernels, in
+    interpret mode on CPU, and as a dense XLA computation (the test oracle).
+    ``seed``: int32 scalar; ``rows``/``cols``: int32 arrays (global
+    positions) — the result is independent of any block decomposition."""
+    sr = jax.lax.shift_right_logical
+    h = (rows * _i32(0x9E3779B1)) ^ (cols * _i32(0x85EBCA77)) ^ seed
+    h = h ^ sr(h, 16)
+    h = h * _i32(0x85EBCA6B)
+    h = h ^ sr(h, 13)
+    h = h * _i32(0xC2B2AE35)
+    h = h ^ sr(h, 16)
+    # top-24 logical bits -> exact f32 in [0, 1)
+    return sr(h, 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def dropout_uniform(seed, tq: int, tk: int) -> jnp.ndarray:
+    """Dense [tq, tk] uniform field for one (batch·head) slice — the test
+    oracle / dense-reference view of the in-kernel draws."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    return _hash_uniform(jnp.asarray(seed, jnp.int32), rows, cols)
+
+
+def _block_uniform(seed, qi, ki, blk_q: int, blk_k: int) -> jnp.ndarray:
+    rows = qi * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
+    cols = ki * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
+    return _hash_uniform(seed, rows, cols)
+
+
+def _flash_kernel(*refs, blk_q: int, blk_k: int, tk: int, causal: bool,
+                  offset: int, use_dropout: bool):
+    if use_dropout:
+        (q_ref, k_ref, v_ref, seed_ref, rate_ref, o_ref, lse_ref, acc_ref,
+         m_ref, l_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+        seed_ref = rate_ref = None
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -87,10 +144,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m_prev - m_new)
+        # normalizer accumulates RAW p: torch drops after the softmax, so the
+        # denominator never sees the dropout mask
         l_ref[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_ref[:, :1] = m_new
+        p_v = p
+        if use_dropout:
+            rate = rate_ref[0, 0, 0]
+            u = _block_uniform(seed_ref[0, 0, 0], qi, ki, blk_q, blk_k)
+            # scale inside the where: rate == 1 yields zeros, not 0·inf NaNs
+            # (matches ops/dropout.py)
+            p_v = jnp.where(u >= rate, p / (1.0 - rate), 0.0)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p_v, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
@@ -103,9 +169,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "offset", "blk_q",
-                                             "blk_k", "interpret"))
-def _flash_fwd_impl(q, k, v, causal, offset, blk_q, blk_k, interpret):
-    """Returns (out [B,H,Tq,D], lse [B*H, Tq_pad])."""
+                                             "blk_k", "use_dropout",
+                                             "interpret"))
+def _flash_fwd_impl(q, k, v, seeds, rates, causal, offset, blk_q, blk_k,
+                    use_dropout, interpret):
+    """Returns (out [B,H,Tq,D], lse [B*H, Tq_pad]).  ``seeds``/``rates``:
+    per-(batch·head) [B*H] int32 / float32 dropout streams (ignored unless
+    ``use_dropout``)."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
 
@@ -134,17 +204,29 @@ def _flash_fwd_impl(q, k, v, causal, offset, blk_q, blk_k, interpret):
         def kv_index(i, qi, ki):
             return (i, ki, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, blk_q, d_pad), lambda i, qi, ki: (i, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_k, d_pad), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_k, d_pad), kv_index, memory_space=pltpu.VMEM),
+    ]
+    operands = [qp, kp, vp]
+    if use_dropout:
+        # [bh, 1, 1] with (1, 1, 1) blocks: the trailing dims equal the
+        # array dims, satisfying the TPU (8, 128) block-tiling rule
+        scalar_spec = pl.BlockSpec((1, 1, 1), lambda i, qi, ki: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        in_specs += [scalar_spec, scalar_spec]
+        operands += [seeds.reshape(b * h, 1, 1).astype(jnp.int32),
+                     rates.reshape(b * h, 1, 1).astype(jnp.float32)]
+
     grid = (b * h, tq_pad // blk_q, n_k)
     out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, blk_q=blk_q, blk_k=blk_k, tk=tk,
-                          causal=causal, offset=offset),
+                          causal=causal, offset=offset,
+                          use_dropout=use_dropout),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, blk_q, d_pad), lambda i, qi, ki: (i, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_k, d_pad), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_k, d_pad), kv_index, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, blk_q, d_pad), lambda i, qi, ki: (i, qi, 0),
                          memory_space=pltpu.VMEM),
@@ -163,26 +245,37 @@ def _flash_fwd_impl(q, k, v, causal, offset, blk_q, blk_k, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(*operands)
     return out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d], lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash(q, k, v, causal, offset, blk_q, blk_k, interpret):
-    return _flash_fwd_impl(q, k, v, causal, offset, blk_q, blk_k, interpret)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash(q, k, v, seeds, rates, causal, offset, blk_q, blk_k, use_dropout,
+           interpret):
+    return _flash_fwd_impl(q, k, v, seeds, rates, causal, offset, blk_q,
+                           blk_k, use_dropout, interpret)[0]
 
 
-def _flash_vjp_fwd(q, k, v, causal, offset, blk_q, blk_k, interpret):
-    out, lse = _flash_fwd_impl(q, k, v, causal, offset, blk_q, blk_k, interpret)
-    return out, (q, k, v, out, lse)
+def _flash_vjp_fwd(q, k, v, seeds, rates, causal, offset, blk_q, blk_k,
+                   use_dropout, interpret):
+    out, lse = _flash_fwd_impl(q, k, v, seeds, rates, causal, offset, blk_q,
+                               blk_k, use_dropout, interpret)
+    return out, (q, k, v, seeds, rates, out, lse)
 
 
-def _flash_vjp_bwd(causal, offset, blk_q, blk_k, interpret, res, do):
+def _flash_vjp_bwd(causal, offset, blk_q, blk_k, use_dropout, interpret,
+                   res, do):
+    import numpy as np
+
     from .attention_pallas_bwd import flash_attention_bwd
 
-    q, k, v, out, lse = res
-    return flash_attention_bwd(q, k, v, out, lse, do, causal, offset, blk_q,
-                               blk_k, interpret)
+    q, k, v, seeds, rates, out, lse = res
+    dq, dk, dv = flash_attention_bwd(q, k, v, seeds, rates, out, lse, do,
+                                     causal, offset, blk_q, blk_k,
+                                     use_dropout, interpret)
+    # int32 seeds carry float0 tangents; rates are non-differentiable inputs
+    return dq, dk, dv, np.zeros(seeds.shape, jax.dtypes.float0), \
+        jnp.zeros_like(rates)
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
@@ -197,9 +290,23 @@ def flash_attention(
     blk_q: int = 256,
     blk_k: int = 512,
     interpret: bool = False,
+    dropout_seeds: jnp.ndarray | None = None,  # [B*H] int32
+    dropout_rates: jnp.ndarray | None = None,  # [B*H] f32 (may be traced)
 ) -> jnp.ndarray:
     """Differentiable fused attention (custom VJP; see
-    attention_pallas_bwd.py for the backward kernels)."""
+    attention_pallas_bwd.py for the backward kernels).  Pass
+    ``dropout_seeds`` + ``dropout_rates`` to enable fused in-softmax
+    dropout (torch ``F.dropout``-after-softmax semantics; see module
+    docstring)."""
     if offset is None:
         offset = 1 + abs(k.shape[2] - q.shape[2])
-    return _flash(q, k, v, causal, offset, blk_q, blk_k, interpret)
+    use_dropout = dropout_seeds is not None
+    if use_dropout:
+        assert dropout_rates is not None
+        seeds, rates = dropout_seeds, dropout_rates
+    else:
+        bh = q.shape[0] * q.shape[1]
+        seeds = jnp.zeros((bh,), jnp.int32)
+        rates = jnp.zeros((bh,), jnp.float32)
+    return _flash(q, k, v, seeds, rates, causal, offset, blk_q, blk_k,
+                  use_dropout, interpret)

@@ -7,6 +7,14 @@ log-sum-exp: ``p = exp(s - lse)``, ``dV += p^T dO``, ``dP = dO V^T``,
 dk/dv iterates query blocks per key block.  The reference future-mask rule
 (col - row >= offset masks) is regenerated in-kernel; fully-masked blocks
 skip compute via ``@pl.when`` and collapse their DMAs via index-map clamping.
+
+With fused in-softmax dropout (see attention_pallas.py docstring), the
+inverted-dropout mask ``M`` is REGENERATED from the same position-based hash
+(global row/col + per-(batch·head) seed — blocking-invariant, so the fwd and
+both bwd kernels agree bit-exactly), and the chain rule becomes:
+``dV += (M∘p)^T dO``, ``dP = M ∘ (dO V^T)``, ``dS = p (dP - delta)`` — the
+``delta = rowsum(dO·O)`` identity is unchanged because
+``Σ_k P∘dP = Σ_k (M∘P)∘(dO Vᵀ) = dO·O`` row-wise.
 """
 
 from __future__ import annotations
@@ -40,8 +48,22 @@ def _masked_p(q, k_blk, lse_col, qi, ki, blk_q, blk_k, tq, tk, causal, offset):
     return jnp.exp(jnp.where(mask, s - lse_col, NEG_INF))
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               acc_ref, *, blk_q, blk_k, tq, tk, causal, offset):
+def _inv_dropout_mask(seed_ref, rate_ref, qi, ki, blk_q, blk_k):
+    """Regenerate the forward's inverted-dropout mask M (keep/(1-rate))."""
+    from .attention_pallas import _block_uniform
+
+    rate = rate_ref[0, 0, 0]
+    u = _block_uniform(seed_ref[0, 0, 0], qi, ki, blk_q, blk_k)
+    return jnp.where(u >= rate, 1.0 / (1.0 - rate), 0.0)
+
+
+def _dq_kernel(*refs, blk_q, blk_k, tq, tk, causal, offset, use_dropout):
+    if use_dropout:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref, rate_ref,
+         dq_ref, acc_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref = refs
+        seed_ref = rate_ref = None
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -64,6 +86,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=jax.lax.Precision.HIGHEST)
+        if use_dropout:
+            dp = dp * _inv_dropout_mask(seed_ref, rate_ref, qi, ki,
+                                        blk_q, blk_k)
         ds = p * (dp - delta_ref[0, 0][:, None])
         acc_ref[:] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
@@ -75,9 +100,14 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
 
 
-def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc, *, blk_q, blk_k, tq, tk,
-                causal, offset):
+def _dkv_kernel(*refs, blk_q, blk_k, tq, tk, causal, offset, use_dropout):
+    if use_dropout:
+        (k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, seed_ref, rate_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        seed_ref = rate_ref = None
     ki = pl.program_id(1)
     qi = pl.program_id(2)
     n_q = pl.num_programs(2)
@@ -100,13 +130,19 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
         lse_col = lse_ref[0, 0][:, None]
         p = _masked_p(q, k, lse_col, qi, ki, blk_q, blk_k, tq, tk, causal,
                       offset)
+        p_v = p
+        if use_dropout:
+            m = _inv_dropout_mask(seed_ref, rate_ref, qi, ki, blk_q, blk_k)
+            p_v = p * m
         dv_acc[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p_v, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=jax.lax.Precision.HIGHEST)
+        if use_dropout:
+            dp = dp * m
         ds = p * (dp - delta_ref[0, 0][:, None])
         dk_acc[:] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
@@ -120,11 +156,13 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "offset", "blk_q",
-                                             "blk_k", "interpret"))
-def flash_attention_bwd(q, k, v, out, lse, do, causal, offset, blk_q, blk_k,
-                        interpret):
+                                             "blk_k", "use_dropout",
+                                             "interpret"))
+def flash_attention_bwd(q, k, v, seeds, rates, out, lse, do, causal, offset,
+                        blk_q, blk_k, use_dropout, interpret):
     """Returns (dq, dk, dv).  q is the PRE-SCALED query (as in the forward);
-    lse is [B, H, Tq_pad] from the forward."""
+    lse is [B, H, Tq_pad] from the forward; seeds/rates are the forward's
+    per-(batch·head) dropout streams (ignored unless ``use_dropout``)."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
     blk_q = min(blk_q, max(8, 1 << (tq - 1).bit_length()))
@@ -161,23 +199,36 @@ def flash_attention_bwd(q, k, v, out, lse, do, causal, offset, blk_q, blk_k,
         def kv_index(i, qi, ki):
             return (i, ki, 0)
 
+    dq_in_specs = [q_spec_q,
+                   pl.BlockSpec((1, blk_k, d_pad), kv_index,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, blk_k, d_pad), kv_index,
+                                memory_space=pltpu.VMEM),
+                   q_spec_q, row_spec_q, row_spec_q]
+    dq_operands = [qp, kp, vp, dop, lse, delta]
+    if use_dropout:
+        # [bh, 1, 1]/(1,1,1): trailing dims equal the array dims (legal
+        # under the TPU block-tiling rule); see attention_pallas.py
+        scalar_spec = pl.BlockSpec((1, 1, 1), lambda i, qi, ki: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        dq_in_specs += [scalar_spec, scalar_spec]
+        seeds2 = seeds.reshape(b * h, 1, 1).astype(jnp.int32)
+        rates2 = rates.reshape(b * h, 1, 1).astype(jnp.float32)
+        dq_operands += [seeds2, rates2]
+
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, blk_q=blk_q, blk_k=blk_k, tq=tq, tk=tk,
-                          causal=causal, offset=offset),
+                          causal=causal, offset=offset,
+                          use_dropout=use_dropout),
         grid=(b * h, n_q, n_k),
-        in_specs=[q_spec_q,
-                  pl.BlockSpec((1, blk_k, d_pad), kv_index,
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, blk_k, d_pad), kv_index,
-                               memory_space=pltpu.VMEM),
-                  q_spec_q, row_spec_q, row_spec_q],
+        in_specs=dq_in_specs,
         out_specs=q_spec_q,
         out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d_pad), q.dtype),
         scratch_shapes=[pltpu.VMEM((blk_q, d_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(qp, kp, vp, dop, lse, delta)
+    )(*dq_operands)
 
     kv_spec = pl.BlockSpec((1, blk_k, d_pad), lambda i, ki, qi: (i, ki, 0),
                            memory_space=pltpu.VMEM)
@@ -198,19 +249,28 @@ def flash_attention_bwd(q, k, v, out, lse, do, causal, offset, blk_q, blk_k,
         def row_index(i, ki, qi):
             return (i, 0, qi)
 
+    dkv_in_specs = [kv_spec, kv_spec,
+                    pl.BlockSpec((1, blk_q, d_pad), q_index,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, blk_q, d_pad), q_index,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, blk_q), row_index,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, blk_q), row_index,
+                                 memory_space=pltpu.VMEM)]
+    dkv_operands = [kp, vp, qp, dop, lse, delta]
+    if use_dropout:
+        scalar_spec_kv = pl.BlockSpec((1, 1, 1), lambda i, ki, qi: (i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+        dkv_in_specs += [scalar_spec_kv, scalar_spec_kv]
+        dkv_operands += [seeds2, rates2]
+
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, blk_q=blk_q, blk_k=blk_k, tq=tq, tk=tk,
-                          causal=causal, offset=offset),
+                          causal=causal, offset=offset,
+                          use_dropout=use_dropout),
         grid=(b * h, n_k, n_q),
-        in_specs=[kv_spec, kv_spec,
-                  pl.BlockSpec((1, blk_q, d_pad), q_index,
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, blk_q, d_pad), q_index,
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, blk_q), row_index,
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, blk_q), row_index,
-                               memory_space=pltpu.VMEM)],
+        in_specs=dkv_in_specs,
         out_specs=(kv_spec, kv_spec),
         out_shape=(jax.ShapeDtypeStruct((b * h, tk_pad, d_pad), k.dtype),
                    jax.ShapeDtypeStruct((b * h, tk_pad, d_pad), v.dtype)),
@@ -219,7 +279,7 @@ def flash_attention_bwd(q, k, v, out, lse, do, causal, offset, blk_q, blk_k,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(kp, vp, qp, dop, lse, delta)
+    )(*dkv_operands)
 
     dq = dq.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d]
     dk = dk.reshape(b, h, tk_pad, d_pad)[:, :, :tk, :d]

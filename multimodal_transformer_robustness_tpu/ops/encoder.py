@@ -62,14 +62,14 @@ class EncoderHParams:
     res_dropout: float = 0.0
     embed_dropout: float = 0.0
     attn_mask: bool = False
-    # "xla" (default) or "flash": route eval-mode attention through the
-    # fused Pallas kernel (ops/attention_pallas.py)
+    # "xla" (default) or "flash": route attention through the fused Pallas
+    # kernel (ops/attention_pallas.py) in eval AND training (custom VJP,
+    # ops/attention_pallas_bwd.py, with fused in-softmax dropout)
     attn_impl: str = "xla"
-    # additionally use the kernel in TRAINING (custom VJP,
-    # ops/attention_pallas_bwd.py) — only valid when attention dropout is 0
-    # (the kernel has no in-softmax dropout); callers set this when the
-    # spec's attn_dropout is all-zero
-    flash_train: bool = False
+    # static hint: every stack instance sharing these hparams has effective
+    # attention-dropout 0, so the flash path skips the in-kernel dropout
+    # machinery entirely (callers compute this from the spec's static rates)
+    flash_zero_rates: bool = True
 
 
 def _init_layer(rng: jax.Array, e_in: int, h: int, dh: int) -> dict:
@@ -114,15 +114,16 @@ def _layer_forward(
 ) -> jnp.ndarray:
     rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
     cm = m.channel_mask
-    impl = "flash" if (hp.attn_impl == "flash"
-                       and (not train or hp.flash_train)) else "xla"
+    impl = "flash" if hp.attn_impl == "flash" else "xla"
     kw = {}
     if impl == "flash":
         tq = x.shape[1]
         tk = x_k.shape[1] if x_k is not None else tq
         kw = {"impl": "flash",
               "causal_offset": (1 + abs(tk - tq)) if hp.attn_mask else None,
-              "attn_bias": None}
+              "attn_bias": None,
+              # in-kernel dropout only where the group can have nonzero rates
+              "flash_dropout": not hp.flash_zero_rates}
     else:
         kw = {"attn_bias": attn_bias}
 

@@ -414,7 +414,7 @@ def test_flash_train_encoder_grads_match_xla(rng):
         hp_f = EncoderHParams(embed_dim_in=E, num_heads=H, head_dim=Dh,
                               layers=L, attn_mask=True, relu_dropout=0.1,
                               res_dropout=0.1, embed_dropout=0.1,
-                              attn_impl="flash", flash_train=True)
+                              attn_impl="flash", flash_zero_rates=True)
         params = init_encoder(jax.random.PRNGKey(11), hp_x)
         x = jnp.asarray(rng.standard_normal((B, T, E)), jnp.float32)
         masks = EncoderMasks(
@@ -436,11 +436,12 @@ def test_flash_train_encoder_grads_match_xla(rng):
         ap.flash_attention = orig
 
 
-def test_flash_train_gate_respects_cross_stack_dropout():
+def test_flash_zero_rate_hint_respects_cross_stack_dropout():
     """Cross stacks idx>0 run at the reference's hard-coded 0.1 attention
     dropout (dynamic_models2.py:201-207) even with --attn_dropout all zero,
-    so the flash-train gate must refuse the cross group while allowing the
-    zero-rate mems0/top groups."""
+    so the static zero-rate hint (which lets the flash path skip in-kernel
+    dropout) must see those effective rates: False for the cross group,
+    True for the zero-rate mems0/top groups."""
     from multimodal_transformer_robustness_tpu import ModelSpec
     from multimodal_transformer_robustness_tpu.models.mult import (
         _hp_stream, _hp_top)
@@ -453,11 +454,172 @@ def test_flash_train_gate_respects_cross_stack_dropout():
         res_dropout=0.0, out_dropout=0.0, embed_dropout=0.0,
         attn_mask=True, output_dim=1, attn_impl="flash",
         header_overrides={"t": "rnn"})
-    assert _hp_stream(spec, spec.layers_single_attn, "mems0").flash_train
-    assert _hp_top(spec).flash_train
+    assert _hp_stream(spec, spec.layers_single_attn, "mems0").flash_zero_rates
+    assert _hp_top(spec).flash_zero_rates
     # 12 cross strings for M=3; indexes > 0 have effective rate 0.1
-    assert not _hp_stream(spec, spec.layers_cross_attn, "cross").flash_train
-    # nonzero flag on modality 0 must also gate mems0
+    assert not _hp_stream(
+        spec, spec.layers_cross_attn, "cross").flash_zero_rates
+    # nonzero flag on modality 0 must also mark mems0
     import dataclasses
     spec2 = dataclasses.replace(spec, attn_dropout=(0.1, 0.0, 0.0, 0.0))
-    assert not _hp_stream(spec2, spec2.layers_single_attn, "mems0").flash_train
+    assert not _hp_stream(
+        spec2, spec2.layers_single_attn, "mems0").flash_zero_rates
+
+
+def _dense_dropout_attention(q, k, v, seeds, rate, causal, offset):
+    """Oracle: dense softmax + the SAME position-hash dropout field the
+    kernel regenerates (attention_pallas.dropout_uniform), torch
+    dropout-after-softmax semantics."""
+    import multimodal_transformer_robustness_tpu.ops.attention_pallas as ap
+
+    b, h, tq, _ = q.shape
+    tk = k.shape[2]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    if causal:
+        rows = jnp.arange(tq)[:, None]
+        cols = jnp.arange(tk)[None, :]
+        s = jnp.where(cols - rows >= offset, -1e30, s)
+    p = jax.nn.softmax(s, axis=-1)
+    u = jnp.stack([ap.dropout_uniform(seeds[i], tq, tk)
+                   for i in range(b * h)]).reshape(b, h, tq, tk)
+    a = jnp.where(u >= rate, p / (1.0 - rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", a, v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_dropout_fwd_and_grads_match_dense_oracle(rng, causal):
+    """Fused in-softmax dropout: kernel fwd AND custom-VJP grads equal the
+    dense oracle that applies the identical position-hash mask.  The mask
+    is a pure function of (seed, global row, global col), so the forward
+    and both backward kernels regenerate it bit-exactly at any blocking."""
+    import multimodal_transformer_robustness_tpu.ops.attention_pallas as ap
+
+    B, H, TQ, TK, D = 2, 3, 24, 40, 16
+    q = jnp.asarray(rng.standard_normal((B, H, TQ, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, TK, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, TK, D)), jnp.float32)
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, (B * H,)), jnp.int32)
+    rate = 0.3
+    rates = jnp.full((B * H,), rate, jnp.float32)
+    offset = 1 + abs(TK - TQ)
+
+    def f(q, k, v):
+        return ap.flash_attention(
+            q, k, v, causal=causal, offset=offset, blk_q=8, blk_k=128,
+            interpret=True, dropout_seeds=seeds, dropout_rates=rates)
+
+    def g(q, k, v):
+        return _dense_dropout_attention(q, k, v, seeds, rate, causal, offset)
+
+    np.testing.assert_allclose(np.asarray(f(q, k, v)),
+                               np.asarray(g(q, k, v)), atol=1e-5)
+    gf = jax.grad(lambda *a: jnp.sum(jnp.sin(f(*a))), argnums=(0, 1, 2))(q, k, v)
+    gg = jax.grad(lambda *a: jnp.sum(jnp.sin(g(*a))), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
+def test_flash_dropout_rate_zero_is_exact_and_field_uniform(rng):
+    """rate=0 through the dropout machinery equals the plain kernel exactly;
+    the hash field is uniform (keep fraction ~= 1-rate) and seed-dependent."""
+    import multimodal_transformer_robustness_tpu.ops.attention_pallas as ap
+
+    B, H, T, D = 2, 2, 16, 8
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, (B * H,)), jnp.int32)
+    f0 = ap.flash_attention(q, k, v, causal=True, blk_q=8, blk_k=128,
+                            interpret=True, dropout_seeds=seeds,
+                            dropout_rates=jnp.zeros((B * H,), jnp.float32))
+    fp = ap.flash_attention(q, k, v, causal=True, blk_q=8, blk_k=128,
+                            interpret=True)
+    assert float(jnp.abs(f0 - fp).max()) == 0.0
+
+    u1 = ap.dropout_uniform(7, 512, 512)
+    u2 = ap.dropout_uniform(8, 512, 512)
+    assert abs(float((u1 >= 0.3).mean()) - 0.7) < 0.01
+    assert abs(float(u1.mean()) - 0.5) < 0.01
+    assert float(jnp.abs(u1 - u2).max()) > 0.1  # seed-dependent
+
+
+def test_flash_dropout_vmap_equals_serial(rng):
+    """mult.py drives encoders under jax.vmap with per-stack seeds/rates:
+    the batched kernel (extra leading grid dim, batched scalar operands)
+    must equal per-stack serial calls bit-exactly, fwd and bwd."""
+    import multimodal_transformer_robustness_tpu.ops.attention_pallas as ap
+
+    S, B, H, TQ, TK, D = 3, 2, 2, 16, 24, 8
+    q = jnp.asarray(rng.standard_normal((S, B, H, TQ, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((S, B, H, TK, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((S, B, H, TK, D)), jnp.float32)
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, (S, B * H)), jnp.int32)
+    rates = jnp.asarray([[0.0] * (B * H), [0.3] * (B * H),
+                         [0.5] * (B * H)], jnp.float32)
+
+    def f(q, k, v, s, r):
+        return ap.flash_attention(q, k, v, causal=True, blk_q=8, blk_k=128,
+                                  interpret=True, dropout_seeds=s,
+                                  dropout_rates=r)
+
+    batched = jax.vmap(f)(q, k, v, seeds, rates)
+    serial = jnp.stack([f(q[i], k[i], v[i], seeds[i], rates[i])
+                        for i in range(S)])
+    np.testing.assert_array_equal(np.asarray(batched), np.asarray(serial))
+
+    gb = jax.grad(lambda *a: jnp.sum(jnp.sin(jax.vmap(f)(*a, seeds, rates))),
+                  argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(lambda q, k, v: jnp.sum(jnp.sin(jnp.stack(
+        [f(q[i], k[i], v[i], seeds[i], rates[i]) for i in range(S)]))),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gb, gs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_flash_dropout_encoder_train_runs_and_is_unbiased(rng):
+    """Encoder-level: a flash stack with nonzero attention dropout trains
+    through the kernel (flash_zero_rates=False); draws are deterministic
+    given the rng and average toward the no-dropout forward."""
+    import functools
+
+    import multimodal_transformer_robustness_tpu.ops.attention_pallas as ap
+
+    orig = ap.flash_attention
+    ap.flash_attention = functools.partial(orig, interpret=True)
+    try:
+        B, T, E, H, Dh, L = 2, 10, 16, 2, 8, 1
+        hp = EncoderHParams(embed_dim_in=E, num_heads=H, head_dim=Dh,
+                            layers=L, attn_mask=True, attn_impl="flash",
+                            flash_zero_rates=False)
+        params = init_encoder(jax.random.PRNGKey(11), hp)
+        x = jnp.asarray(rng.standard_normal((B, T, E)), jnp.float32)
+        masks = EncoderMasks(
+            layer_gates=_prefix_mask(L, L), head_mask=_prefix_mask(H, H),
+            head_dim_mask=_prefix_mask(Dh, Dh),
+            ffn_mask=_prefix_mask(4 * H * Dh, 4 * H * Dh), channel_mask=None)
+
+        def fwd(key, rate, train=True):
+            return encoder_forward(params, x, hp=hp, masks=masks,
+                                   attn_rate=rate, train=train, rng=key)
+
+        y1 = fwd(jax.random.PRNGKey(0), 0.4)
+        y2 = fwd(jax.random.PRNGKey(0), 0.4)
+        y3 = fwd(jax.random.PRNGKey(1), 0.4)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        assert float(jnp.abs(y1 - y3).max()) > 1e-6  # draws vary with rng
+
+        # unbiasedness: mean over draws approaches the rate-0 train forward
+        y0 = fwd(jax.random.PRNGKey(0), 0.0)
+        ys = jnp.stack([fwd(jax.random.PRNGKey(i), 0.4) for i in range(64)])
+        resid = float(jnp.abs(ys.mean(0) - y0).mean())
+        spread = float(jnp.abs(ys[0] - y0).mean())
+        assert resid < 0.35 * spread, (resid, spread)
+
+        # and gradients flow
+        gnorm = jax.grad(lambda p: jnp.sum(jnp.abs(encoder_forward(
+            p, x, hp=hp, masks=masks, attn_rate=0.4, train=True,
+            rng=jax.random.PRNGKey(2)))))(params)
+        assert all(np.isfinite(np.asarray(g)).all()
+                   for g in jax.tree.leaves(gnorm))
+    finally:
+        ap.flash_attention = orig
