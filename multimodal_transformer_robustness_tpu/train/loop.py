@@ -322,8 +322,14 @@ class Trainer:
         Replicates the sample-lags-one-batch quirk: the step runs with the
         masks sampled during the PREVIOUS batch."""
         hp, spec = self.hp, self.spec
-        epoch_loss, proc_loss, proc_size = 0.0, 0.0, 0
-        n_seen = 0
+        # NO per-step device sync: reading the loss scalar every step
+        # (float(loss)) serializes host and device — each step then pays a
+        # full device round-trip (tens of ms through the remote tunnel)
+        # instead of pipelining upload/compute/sampling.  Losses stay on
+        # device; ONE stacked readback at epoch end (or at each log line).
+        losses: List = []
+        sizes: List[int] = []
+        proc_from = 0
         start = time.time()
         for i_batch, batch in enumerate(train_iter):
             inputs = [jnp.asarray(x) for x in batch.inputs]
@@ -341,22 +347,24 @@ class Trainer:
                 all_module=hp.all_module, specific=hp.specific)
             current_masks = jax.tree.map(jnp.asarray, build_masks(spec, cfg))
 
-            bsz = int(np.sum(batch.valid))
-            loss_f = float(loss)
-            proc_loss += loss_f * bsz
-            proc_size += bsz
-            epoch_loss += loss_f * bsz
-            n_seen += bsz
+            losses.append(loss)
+            sizes.append(int(np.sum(batch.valid)))
             if (i_batch + 1) % hp.log_interval == 0:
+                chunk = np.asarray(jnp.stack(losses[proc_from:]))
+                w = np.asarray(sizes[proc_from:], np.float64)
                 elapsed = time.time() - start
                 print("Epoch {:2d} | Batch {:3d} | Time/Batch(ms) {:5.2f} | "
                       "Train Loss {:5.4f}".format(
                           epoch, i_batch + 1,
                           elapsed * 1000 / hp.log_interval,
-                          proc_loss / max(proc_size, 1)))
-                proc_loss, proc_size = 0.0, 0
+                          float(chunk @ w) / max(w.sum(), 1.0)))
+                proc_from = len(losses)
                 start = time.time()
-        return epoch_loss / max(n_seen, 1), current_masks
+        if not losses:
+            return 0.0, current_masks
+        loss_vec = np.asarray(jnp.stack(losses), np.float64)  # one sync
+        w = np.asarray(sizes, np.float64)
+        return float(loss_vec @ w) / max(float(w.sum()), 1.0), current_masks
 
     def evaluate(self, loader, masks: SupernetMasks,
                  activate_modality: Sequence[int]) -> tuple:
