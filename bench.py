@@ -28,7 +28,8 @@ sys.path.insert(0, REPO)
 
 
 def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
-         compute_dtype="bfloat16", cached_text=False, emit_json=True):
+         compute_dtype="bfloat16", cached_text=False, emit_json=True,
+         prng="rbg"):
     """One measured train-throughput config.  Defaults = the headline:
     throughput-optimal batch (1024, measured sweep in BENCH_NOTES.md) with
     the bf16 compute policy (params f32, compute bf16 —
@@ -47,9 +48,12 @@ def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
 
     import jax
 
-    from multimodal_transformer_robustness_tpu.utils import enable_compilation_cache
+    from multimodal_transformer_robustness_tpu.utils import (
+        enable_compilation_cache, set_default_prng)
 
     enable_compilation_cache()
+    # rbg dropout draws: -11% step time vs threefry (utils.set_default_prng)
+    set_default_prng(prng)
     import jax.numpy as jnp
     import optax
 
@@ -175,6 +179,8 @@ if __name__ == "__main__":
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--cached_text", action="store_true")
+    ap.add_argument("--prng", default="rbg",
+                    choices=["threefry2x32", "rbg", "unsafe_rbg"])
     a = ap.parse_args()
     main(batch_size=a.batch, steps=a.steps, bert_layers=a.bert_layers,
-         compute_dtype=a.dtype, cached_text=a.cached_text)
+         compute_dtype=a.dtype, cached_text=a.cached_text, prng=a.prng)

@@ -17,6 +17,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=584 * 2 * 2, metavar="N")
     p.add_argument("--seed", type=int, default=1111)
     p.add_argument("--no_cuda", action="store_true")
+    p.add_argument("--prng", default="rbg",
+                   choices=["threefry2x32", "rbg", "unsafe_rbg"])
     p.add_argument("--mutate_prob", type=float, default=0.5)
     p.add_argument("--parent_ratio", type=float, default=0.8)
     p.add_argument("--mutation_ratio", type=float, default=0.8)
@@ -59,6 +61,8 @@ def main(argv=None):
     from ..train.ea import EAHParams, EvolutionSearch
 
     args = build_parser().parse_args(argv)
+    from ..utils import set_default_prng
+    set_default_prng(args.prng)
     np.random.seed(args.seed)
 
     print("Start loading the data....")

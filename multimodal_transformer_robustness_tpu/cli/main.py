@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_interval", type=int, default=360)
     p.add_argument("--seed", type=int, default=1111)
     p.add_argument("--no_cuda", action="store_true")  # accepted, ignored (TPU)
+    # TPU-native additive flag: jax PRNG impl for dropout draws (rbg is much
+    # cheaper on the VPU; see utils.set_default_prng for the measurement)
+    p.add_argument("--prng", default="rbg",
+                   choices=["threefry2x32", "rbg", "unsafe_rbg"])
     # stages
     p.add_argument("--pretrain", type=str, default=None)
     p.add_argument("--experiment_type", type=str, default="random_sample")
@@ -130,6 +134,8 @@ def main(argv=None):
     from ..train.sweep import masking_inputs_sweep, missing_modality_sweep
 
     args = build_parser().parse_args(argv)
+    from ..utils import set_default_prng
+    set_default_prng(args.prng)
     np.random.seed(args.seed)
 
     print("Start loading the data....")
