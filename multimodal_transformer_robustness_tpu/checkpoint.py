@@ -50,6 +50,51 @@ def load_checkpoint(path: str):
     return params, tree.get("extra")
 
 
+# ------------------------------------------------------------ exact resume
+
+def save_training_state(path: str, trainer) -> None:
+    """Full-fidelity training checkpoint: params + optimizer moments +
+    device key (orbax) and scheduler/host-RNG/curve state (sidecar json).
+    ``restore_training_state`` continues the run EXACTLY (bit-equal on the
+    same hardware — tests/test_resume.py).  The reference keeps only the
+    pickled model and restarts optimization on resume (train.py:31-33)."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    arrays, meta = trainer.training_state()
+    path = os.path.abspath(path)
+    ocp.PyTreeCheckpointer().save(path, {"params": trainer.params, **arrays},
+                                  force=True)
+    with open(path + ".train.json", "w") as f:
+        json.dump(meta, f)
+
+
+def restore_training_state(path: str, trainer) -> int:
+    """Restore a :func:`save_training_state` checkpoint into ``trainer``.
+    Returns the epoch to continue from (1-based).  Restores ONTO the
+    trainer's live pytrees so namedtuple/optax structures round-trip
+    orbax's dict-ification intact."""
+    import json
+
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    template = jax.tree.map(np.asarray,
+                            {"params": trainer.params,
+                             "opt_state": trainer.opt_state,
+                             "key": trainer._key})
+    tree = ocp.PyTreeCheckpointer().restore(path, item=template)
+    with open(path + ".train.json") as f:
+        meta = json.load(f)
+    trainer.params = tree["params"]
+    trainer.load_training_state(
+        {"opt_state": tree["opt_state"], "key": tree["key"]}, meta)
+    return len(trainer.training_curve) + 1
+
+
 # ------------------------------------------------- torch state-dict mapping
 
 def _rnn_names(prefix: str, rnn: dict, out: Dict[str, np.ndarray]) -> None:

@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["threefry2x32", "rbg", "unsafe_rbg"])
     # stages
     p.add_argument("--pretrain", type=str, default=None)
+    # TPU-native additive flag: continue an interrupted run EXACTLY from
+    # <model_path>_train (optimizer/scheduler/RNG state; the reference's
+    # --pretrain reloads weights but restarts optimization)
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--experiment_type", type=str, default="random_sample")
     # TPU-build additions
     p.add_argument("--bert_dir", type=str, default=None,
@@ -249,7 +253,27 @@ def main(argv=None):
             save_checkpoint(args.model_path, p,
                             extra={"epoch": epoch, "val_acc": float(val)})
 
-    trainer.fit(train_loader, valid_loader, test_loader, save_fn=save_fn)
+    # full training-state checkpoint (optimizer/scheduler/RNG) every epoch,
+    # at <model_path>_train; --resume continues the run exactly (the
+    # reference's --pretrain reloads weights but restarts optimization)
+    epoch_fn = None
+    start_epoch = 1
+    if args.model_path:
+        from ..checkpoint import restore_training_state, save_training_state
+
+        state_path = args.model_path + "_train"
+
+        def epoch_fn(tr, epoch):
+            save_training_state(state_path, tr)
+
+        if args.resume:
+            start_epoch = restore_training_state(state_path, trainer)
+            train_loader.set_epoch(start_epoch - 1)
+            print(f"Resumed training state from {state_path}; "
+                  f"continuing at epoch {start_epoch}")
+
+    trainer.fit(train_loader, valid_loader, test_loader, save_fn=save_fn,
+                epoch_fn=epoch_fn, start_epoch=start_epoch)
 
     if args.run_sweep:
         if args.experiment_type == "baseline_ia":

@@ -106,6 +106,10 @@ class DeviceBatchIterator:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int) -> None:
+        """Same exact-resume contract as BatchIterator.set_epoch."""
+        self._epoch = epoch
+
     def __iter__(self):
         n = len(self.dataset)
         order = np.arange(n)

@@ -71,6 +71,12 @@ class BatchIterator:
                 f"batch {batch_size} must divide over {nproc} processes")
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Position the shuffle stream for exact mid-training resume: the
+        per-epoch order is a pure function of ``seed + epoch``, so a fresh
+        iterator continues a checkpointed run's data order exactly."""
+        self._epoch = epoch
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_tail:

@@ -175,6 +175,7 @@ class Trainer:
         self.rng = np.random.default_rng(hp.seed)
         self._key = jax.random.PRNGKey(hp.seed)
         self.training_curve: List[List[float]] = []
+        self.best_valid = -1e8  # tracked across fit() calls for exact resume
 
         spec_apply = functools.partial(supernet_apply, spec)
 
@@ -314,6 +315,41 @@ class Trainer:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    # --------------------------------------------------- exact-resume state
+    def training_state(self) -> tuple:
+        """(array_tree, meta_dict): everything beyond ``params`` that
+        :meth:`fit` needs to CONTINUE a run exactly — optimizer moments,
+        plateau-scheduler state, host and device RNG streams, curve, best
+        validation.  The reference saves only the pickled model and restarts
+        optimization on ``--pretrain`` (train.py:31-33, 508-511); exact
+        resume is a deliberate beyond-reference capability.  Serialize the
+        array tree with checkpoint.save/restore_training_state."""
+        arrays = {"opt_state": self.opt_state, "key": self._key}
+        meta = {
+            "scheduler": {"lr": self.scheduler.lr,
+                          "best": self.scheduler.best,
+                          "num_bad": self.scheduler.num_bad},
+            "np_rng_state": self.rng.bit_generator.state,  # json-able dict
+            "training_curve": self.training_curve,
+            "best_valid": self.best_valid,
+        }
+        return arrays, meta
+
+    def load_training_state(self, arrays: dict, meta: dict) -> None:
+        # restore INTO the freshly-initialized opt_state's treedef: orbax
+        # round-trips namedtuple pytrees as plain dicts
+        treedef = jax.tree.structure(self.opt_state)
+        restored = jax.tree.leaves(arrays["opt_state"])
+        self.opt_state = jax.tree.unflatten(treedef, restored)
+        self._key = jnp.asarray(arrays["key"])
+        s = meta["scheduler"]
+        self.scheduler.lr = float(s["lr"])
+        self.scheduler.best = float(s["best"])
+        self.scheduler.num_bad = int(s["num_bad"])
+        self.rng.bit_generator.state = meta["np_rng_state"]
+        self.training_curve = [list(x) for x in meta["training_curve"]]
+        self.best_valid = float(meta["best_valid"])
+
     # ------------------------------------------------------------------
     def train_epoch(self, train_iter, current_masks: SupernetMasks,
                     epoch: int = 0) -> tuple:
@@ -401,18 +437,23 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self, train_loader, valid_loader, test_loader,
-            save_fn: Optional[Callable] = None) -> List[List[float]]:
+            save_fn: Optional[Callable] = None,
+            epoch_fn: Optional[Callable] = None,
+            start_epoch: int = 1) -> List[List[float]]:
         """The reference epoch loop (train.py:436-517): train, validation
         metric (random_sample: (M+1) identical full-topology evals),
-        plateau scheduling on 1-val_acc, best-val checkpoint, lr-floor stop."""
+        plateau scheduling on 1-val_acc, best-val checkpoint, lr-floor stop.
+
+        ``epoch_fn(trainer, epoch)`` runs at the end of EVERY epoch (resume
+        checkpointing); ``start_epoch`` continues a restored run — pair with
+        :meth:`load_training_state` + ``train_loader.set_epoch``."""
         hp, spec = self.hp, self.spec
         M = spec.modality_num
         full_masks = jax.tree.map(jnp.asarray,
                                   build_masks(spec, full_active_config(spec)))
         current_masks = full_masks  # ctor default is the full MulT topology
-        best_valid = -1e8
         t0 = time.time()
-        for epoch in range(1, hp.num_epochs + 1):
+        for epoch in range(start_epoch, hp.num_epochs + 1):
             ep_start = time.time()
             _, current_masks = self.train_epoch(train_loader, current_masks, epoch)
 
@@ -450,10 +491,12 @@ class Trainer:
             print("Epoch {:2d} | Time {:5.4f} sec | Valid Acc {:5.4f} | "
                   "Test Acc {:5.4f}".format(epoch, dur, abs(val_acc), abs(test_acc)))
             print("-" * 50)
-            if val_acc > best_valid:
-                best_valid = val_acc
+            if val_acc > self.best_valid:
+                self.best_valid = val_acc
                 if save_fn is not None:
                     save_fn(self.params, epoch, val_acc)
+            if epoch_fn is not None:
+                epoch_fn(self, epoch)
             if new_lr <= 1e-16:
                 break
         print(time.time() - t0)

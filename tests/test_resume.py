@@ -1,0 +1,110 @@
+"""Exact training resume: save/restore of the FULL training state
+(optimizer moments, plateau scheduler, host+device RNG streams, curve,
+best-valid) continues a run bit-exactly.
+
+The reference saves only the pickled model and restarts optimization on
+``--pretrain`` (train.py:31-33, 508-511); exact resume is a deliberate
+beyond-reference capability (checkpoint.save/restore_training_state).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from multimodal_transformer_robustness_tpu import ModelSpec
+from multimodal_transformer_robustness_tpu.checkpoint import (
+    restore_training_state,
+    save_training_state,
+)
+from multimodal_transformer_robustness_tpu.data.loaders import BatchIterator
+from multimodal_transformer_robustness_tpu.models import init_supernet
+from multimodal_transformer_robustness_tpu.train import TrainHParams, Trainer
+
+from _synth import synth_avmnist
+
+
+def _spec():
+    return ModelSpec(
+        modality_set=("i", "A"), orig_dimensions=(28, 112), dimension=8,
+        num_heads=2, head_dim=4, layers_single_attn=1, layers_cross_attn=1,
+        layers_self_attn=1, attn_dropout=(0.1, 0.0, 0.0), relu_dropout=0.1,
+        res_dropout=0.1, out_dropout=0.1, embed_dropout=0.1, attn_mask=True,
+        output_dim=10)
+
+
+def _hp(num_epochs):
+    return TrainHParams(batch_size=16, lr=2e-3, clip=1.0,
+                        num_epochs=num_epochs, when=5,
+                        experiment_type="random_sample",
+                        modality_pool=[[0], [1], [0, 1]],
+                        criterion="CrossEntropyLoss", dataset="avmnist",
+                        log_interval=1000)
+
+
+def _fit(trainer, data, start_epoch=1, epoch_fn=None):
+    train_ds, valid_ds, test_ds = data
+    train_iter = BatchIterator(train_ds, 16, shuffle=True, seed=0)
+    train_iter.set_epoch(start_epoch - 1)
+    trainer.fit(train_iter, BatchIterator(valid_ds, 16),
+                BatchIterator(test_ds, 16), epoch_fn=epoch_fn,
+                start_epoch=start_epoch)
+    return trainer
+
+
+def test_resume_is_bit_exact(tmp_path):
+    spec = _spec()
+    data = (synth_avmnist(48, seed=0), synth_avmnist(24, seed=1),
+            synth_avmnist(24, seed=2))
+    path = str(tmp_path / "ck")
+
+    # straight 4-epoch run
+    params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
+    straight = _fit(Trainer(spec, params, frozen, _hp(4)), data)
+
+    # 2 epochs, save at every epoch end, then a FRESH trainer restores and
+    # finishes (fresh params/optimizer as a cold process would have)
+    params2, frozen2 = init_supernet(jax.random.PRNGKey(0), spec)
+    _fit(Trainer(spec, params2, frozen2, _hp(2)), data,
+         epoch_fn=lambda tr, ep: save_training_state(path, tr))
+
+    params3, frozen3 = init_supernet(jax.random.PRNGKey(7), spec)  # different
+    resumed = Trainer(spec, params3, frozen3, _hp(4))
+    start = restore_training_state(path, resumed)
+    assert start == 3
+    _fit(resumed, data, start_epoch=start)
+
+    assert straight.training_curve == resumed.training_curve
+    for a, b in zip(jax.tree.leaves(straight.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(straight.opt_state),
+                    jax.tree.leaves(resumed.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert straight.scheduler.lr == resumed.scheduler.lr
+    assert straight.best_valid == resumed.best_valid
+
+
+def test_training_state_roundtrip_fields():
+    """Scheduler / host-RNG / curve state survive the round trip, and the
+    restored host stream continues exactly where the saved one stood."""
+    spec = _spec()
+    params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
+    tr = Trainer(spec, params, frozen, _hp(1))
+    tr.scheduler.lr = 1.25e-4
+    tr.scheduler.best = 0.5
+    tr.scheduler.num_bad = 3
+    tr.best_valid = 0.75
+    tr.training_curve = [[0.1, 0.2], [0.3, 0.4]]
+    tr.rng.standard_normal(5)          # advance the host stream
+    arrays, meta = tr.training_state()  # capture HERE
+    draws_expect = tr.rng.standard_normal(4).copy()
+
+    tr2 = Trainer(spec, params, frozen, _hp(1))
+    tr2.load_training_state(arrays, meta)
+    np.testing.assert_array_equal(tr2.rng.standard_normal(4), draws_expect)
+    assert tr2.scheduler.lr == 1.25e-4
+    assert tr2.scheduler.best == 0.5
+    assert tr2.scheduler.num_bad == 3
+    assert tr2.best_valid == 0.75
+    assert tr2.training_curve == [[0.1, 0.2], [0.3, 0.4]]
