@@ -35,6 +35,15 @@ from .layernorm import masked_layer_norm
 from .linear import init_linear, masked_linear
 from .positional import make_positions, sinusoidal_pe
 
+# rematerialize each encoder layer in the backward pass (jax.checkpoint)
+# instead of storing its activations: trades recompute FLOPs (cheap — the
+# T=1 stacks are bandwidth-bound, ~1 ms of MXU work) for HBM traffic.
+# Measured at the flagship cached-text B=1024 bf16 step: 30.3 -> 26.2
+# ms/step (BENCH_NOTES).  Gradients are bit-identical (checkpoint replays
+# the same ops with the same rngs).  Default ON for training; set False to
+# store activations instead.
+REMAT_LAYERS = True
+
 
 @register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -215,6 +224,8 @@ def encoder_forward(
                 lrng if rng is not None else None)
             return jnp.where(gate > 0, y, carry), None
 
+        if REMAT_LAYERS and train:
+            body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, (params["layers"], masks.layer_gates, layer_rngs))
 
     return masked_layer_norm(x, params["ln"]["g"], params["ln"]["b"], cm)
