@@ -38,11 +38,14 @@ from .positional import make_positions, sinusoidal_pe
 # rematerialize each encoder layer in the backward pass (jax.checkpoint)
 # instead of storing its activations: trades recompute FLOPs (cheap — the
 # T=1 stacks are bandwidth-bound, ~1 ms of MXU work) for HBM traffic.
-# Measured at the flagship cached-text B=1024 bf16 step: 30.3 -> 26.2
-# ms/step (BENCH_NOTES).  Gradients are bit-identical (checkpoint replays
-# the same ops with the same rngs).  Default ON for training; set False to
-# store activations instead.
+# Measured on the MOSEI step (BENCH_NOTES): B=1024 bf16 cached-text
+# 30.3 -> 26.2 ms (-13%); B=256 neutral; B=16 11.5 ms vs 7.3 (-57% — at
+# tiny batches the stacks are latency-bound and recompute just doubles
+# work).  So remat engages only when the stack sees >= REMAT_MIN_ROWS
+# batch*time rows (trace-time decision; shapes are static).  Gradients are
+# bit-identical (checkpoint replays the same ops with the same rngs).
 REMAT_LAYERS = True
+REMAT_MIN_ROWS = 512
 
 
 @register_dataclass
@@ -224,7 +227,7 @@ def encoder_forward(
                 lrng if rng is not None else None)
             return jnp.where(gate > 0, y, carry), None
 
-        if REMAT_LAYERS and train:
+        if REMAT_LAYERS and train and x.shape[0] * x.shape[1] >= REMAT_MIN_ROWS:
             body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, (params["layers"], masks.layer_gates, layer_rngs))
 
