@@ -543,6 +543,29 @@ def test_flash_dropout_rate_zero_is_exact_and_field_uniform(rng):
     assert float(jnp.abs(u1 - u2).max()) > 0.1  # seed-dependent
 
 
+def test_flash_dropout_bf16_matches_oracle(rng):
+    """bf16 q/k/v through the dropout kernel: the in-kernel f32 gate math +
+    position-hash mask track the f32 oracle on the same bf16-cast inputs
+    within bf16 rounding."""
+    import multimodal_transformer_robustness_tpu.ops.attention_pallas as ap
+
+    B, H, TQ, TK, D = 2, 2, 16, 24, 8
+    q = jnp.asarray(rng.standard_normal((B, H, TQ, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, H, TK, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, H, TK, D)), jnp.bfloat16)
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, (B * H,)), jnp.int32)
+    rate = 0.3
+    out = ap.flash_attention(q, k, v, causal=True, blk_q=8, blk_k=128,
+                             interpret=True, dropout_seeds=seeds,
+                             dropout_rates=jnp.full((B * H,), rate))
+    assert out.dtype == jnp.bfloat16
+    oracle = _dense_dropout_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        seeds, rate, True, 1 + abs(TK - TQ))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(oracle), atol=0.05)
+
+
 def test_flash_dropout_vmap_equals_serial(rng):
     """mult.py drives encoders under jax.vmap with per-stack seeds/rates:
     the batched kernel (extra leading grid dim, batched scalar operands)
