@@ -74,7 +74,7 @@ def bench_avmnist(args):
                       dataset="avmnist", log_interval=10**9)
     trainer = Trainer(spec, params, frozen, hp)
     ds = synth_avmnist(args.epoch_rows, seed=0)
-    sps, t_epochs, loss = _time_epochs(trainer, ds, 16)
+    sps, t_epochs, _ = _time_epochs(trainer, ds, 16)
     return {"metric": "avmnist_test_single_train_samples_per_sec_per_chip",
             "value": round(sps, 2), "unit": "samples/sec", "batch": 16,
             "rows": args.epoch_rows, "warm_epoch_s": round(t_epochs[-1], 3),
@@ -125,7 +125,7 @@ def bench_mosi(args):
                       log_interval=10**9)
     trainer = Trainer(spec, params, frozen, hp)
     ds = _synth_seq(args.epoch_rows, spec.orig_dimensions, 50, 1)
-    sps, t_epochs, loss = _time_epochs(trainer, ds, 16)
+    sps, t_epochs, _ = _time_epochs(trainer, ds, 16)
     return {"metric": "mosi_scaled_train_samples_per_sec_per_chip",
             "value": round(sps, 2), "unit": "samples/sec", "batch": 16,
             "rows": args.epoch_rows, "warm_epoch_s": round(t_epochs[-1], 3),
