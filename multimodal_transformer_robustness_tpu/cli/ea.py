@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--layers_cross_attn", type=int, default=4)
     p.add_argument("--layers_self_attn", type=int, default=2)
     p.add_argument("--max_shards", type=int, default=None)
+    p.add_argument("--mesh", type=str, default=None,
+                   help="device mesh, e.g. 'cfg=-1' or 'dp=8': EA fitness "
+                        "shards each generation's config axis across every "
+                        "mesh device (axis names don't matter for fitness — "
+                        "the whole device set serves the config axis)")
     p.add_argument("--cache_text", action="store_true",
                    help="precompute frozen-BERT text features once per "
                         "dataset (see cli/main.py --cache_text); EA fitness "
@@ -103,9 +108,16 @@ def main(argv=None):
         valid_data = CachedTextDataset(valid_data, frozen, bert_cfg)
         test_data = CachedTextDataset(test_data, frozen, bert_cfg)
 
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import make_mesh, parse_mesh_axes
+
+        mesh = make_mesh(parse_mesh_axes(args.mesh))
+        print("mesh:", dict(zip(mesh.axis_names, mesh.devices.shape)),
+              f"over {mesh.devices.size} devices")
     trainer = Trainer(spec, params, frozen,
                       TrainHParams(dataset=args.dataset, criterion="L1Loss"),
-                      bert_cfg=bert_cfg)
+                      bert_cfg=bert_cfg, mesh=mesh)
     ea = EvolutionSearch(
         trainer,
         EAHParams(mutate_prob=args.mutate_prob, parent_ratio=args.parent_ratio,

@@ -98,6 +98,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "substitutes the precomputed BERT(zero-tokens) row). "
                         "Removes ~half the train-step cost at the MOSEI "
                         "config — see train/features.py")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="device mesh for multi-chip scaling, e.g. 'dp=8' "
+                        "(data parallel over all 8 chips), 'dp=4,mp=2' "
+                        "(4-way data x 2-way tensor over attention heads / "
+                        "FFN units), 'dp=-1' (all devices). Params/optimizer "
+                        "shard per parallel.mesh.supernet_param_spec; "
+                        "batches shard over dp; the sweep/EA config axis "
+                        "shards over every device. Multi-host: set "
+                        "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID and the dp axis stretches across "
+                        "processes over DCN")
     p.add_argument("--device_data", action="store_true",
                    help="whole-dataset HBM residency + on-device batch "
                         "gather (data/device.py) — removes the host input "
@@ -141,6 +152,17 @@ def main(argv=None):
     from ..utils import set_default_prng
     set_default_prng(args.prng)
     np.random.seed(args.seed)
+
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import (initialize_multihost,
+                                     make_multihost_mesh, parse_mesh_axes)
+
+        initialize_multihost()  # no-op single-process; pods read the env
+        mesh = make_multihost_mesh(parse_mesh_axes(args.mesh))
+        print("mesh:", dict(zip(mesh.axis_names, mesh.devices.shape)),
+              f"over {mesh.devices.size} devices,",
+              f"{jax.process_count()} process(es)")
 
     print("Start loading the data....")
     kw = {}
@@ -229,7 +251,7 @@ def main(argv=None):
         seed=args.seed, dataset=args.dataset, model_path=args.model_path,
         batch_chunk=args.batch_chunk)
     trainer = Trainer(spec, params, frozen, hp, bert_cfg=bert_cfg,
-                      zero_fill_rows=zero_rows)
+                      zero_fill_rows=zero_rows, mesh=mesh)
 
     eval_bs = EVAL_BATCH[args.dataset]
     if args.device_data:
@@ -242,10 +264,15 @@ def main(argv=None):
         valid_loader = DeviceBatchIterator(valid_data, eval_bs, store_dtype=sd)
         test_loader = DeviceBatchIterator(test_data, eval_bs, store_dtype=sd)
     else:
+        # multi-process (pods): every process yields its contiguous slice of
+        # each deterministic global batch; Trainer._shard_batch assembles
+        # the global array (parallel.mesh.global_batch_from_local)
+        pshard = ((jax.process_index(), jax.process_count())
+                  if jax.process_count() > 1 else None)
         train_loader = BatchIterator(train_data, args.batch_size, shuffle=True,
-                                     seed=args.seed)
-        valid_loader = BatchIterator(valid_data, eval_bs)
-        test_loader = BatchIterator(test_data, eval_bs)
+                                     seed=args.seed, process_shard=pshard)
+        valid_loader = BatchIterator(valid_data, eval_bs, process_shard=pshard)
+        test_loader = BatchIterator(test_data, eval_bs, process_shard=pshard)
 
     def save_fn(p, epoch, val):
         if args.model_path:

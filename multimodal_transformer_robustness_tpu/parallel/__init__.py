@@ -1,3 +1,5 @@
-from .mesh import make_mesh, shard_batch, shard_cfg_axis, replicate
+from .mesh import (make_mesh, parse_mesh_axes, replicate, shard_batch,
+                   shard_cfg_axis, shard_supernet_params, supernet_param_spec)
 
-__all__ = ["make_mesh", "shard_batch", "shard_cfg_axis", "replicate"]
+__all__ = ["make_mesh", "parse_mesh_axes", "replicate", "shard_batch",
+           "shard_cfg_axis", "shard_supernet_params", "supernet_param_spec"]

@@ -92,18 +92,21 @@ class EvolutionSearch:
         return c
 
     def _device_batches(self):
-        """Upload the validation set once; generations re-read it."""
+        """Upload the validation set once; generations re-read it.  Under a
+        trainer mesh the batches replicate across it (fitness parallelism is
+        over the CONFIG axis — eval_step_sweep shards the generation)."""
         if getattr(self, "_dev_batches", None) is None:
-            self._dev_batches = [
-                ([jnp.asarray(x) for x in b.inputs], b.valid > 0,
-                 np.asarray(b.labels)[b.valid > 0])
-                for b in self.valid_loader]
+            from .sweep import upload_eval_batches
+
+            self._dev_batches = upload_eval_batches(self.valid_loader,
+                                                    self.trainer.mesh)
         return self._dev_batches
 
     def eval_population(self, genomes: List[Genome]) -> np.ndarray:
         """Batched fitness: the whole generation stacks into one device
         pytree and evaluates in ONE dispatch per data batch (device-side
-        lax.map chunking)."""
+        lax.map chunking; config-axis sharded across devices when the
+        trainer carries a mesh)."""
         tr = self.trainer
         tr.cfg_chunk = self.max_cfg_chunk  # read at trace time by
         #                                    eval_step_sweep's lax.map
@@ -114,7 +117,7 @@ class EvolutionSearch:
             masks = masks + [masks[-1]] * (chunk - n_real % chunk)
         M = self.spec.modality_num
         flags = jnp.ones((M,), jnp.float32)
-        stacked = jax.tree.map(jnp.asarray, stack_masks(masks))
+        stacked = tr.prep_sweep_masks(stack_masks(masks))
         per_batch: List[np.ndarray] = []
         truths = []
         for inputs, keep, labels in self._device_batches():

@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -133,6 +133,15 @@ def _zero_fill(inputs: List[jnp.ndarray], flags: jnp.ndarray,
     return out
 
 
+class _SweepMasks(NamedTuple):
+    """A stacked config-mask pytree placed once by
+    :meth:`Trainer.prep_sweep_masks` (``n`` = real config count before
+    mesh padding; None on the unmeshed path)."""
+
+    tree: object
+    n: Optional[int]
+
+
 class Trainer:
     """Builds the jitted step functions and runs the reference's experiment
     loop.  ``initiate``-equivalent: construct with spec/params, call
@@ -154,14 +163,32 @@ class Trainer:
 
     def __init__(self, spec: ModelSpec, params, frozen: dict,
                  hp: TrainHParams, bert_cfg: Optional[BertConfig] = None,
-                 zero_fill_rows: Optional[dict] = None):
+                 zero_fill_rows: Optional[dict] = None, mesh=None):
         """``zero_fill_rows``: per-modality substitute rows for missing-
         modality eval when that modality's input is precomputed features
-        (CachedTextDataset.zero_fill_rows()) — see _zero_fill."""
+        (CachedTextDataset.zero_fill_rows()) — see _zero_fill.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` (CLI ``--mesh``): params and
+        optimizer moments shard per ``parallel.mesh.supernet_param_spec``
+        (tensor parallelism over the ``mp`` axis if present), batches shard
+        over ``dp`` in the step wrappers, and the sweep/EA config axis shards
+        over ALL mesh axes in :meth:`eval_step_sweep`.  The reference is
+        single-GPU (SURVEY §2.7); this is the TPU build's scaling axis."""
         assert hp.optim in self.OPTIMIZERS, (
             f"unknown optimizer {hp.optim!r}; known: {sorted(self.OPTIMIZERS)}")
         self.spec = spec
         self.hp = hp
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicate, shard_supernet_params
+
+            params = shard_supernet_params(params, mesh)
+            frozen = replicate(frozen, mesh)
+            zero_fill_rows = ({i: jax.device_put(
+                jnp.asarray(r, jnp.float32),
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+                for i, r in zero_fill_rows.items()}
+                if zero_fill_rows else zero_fill_rows)
         self.frozen = frozen
         self.bert_cfg = bert_cfg
         # device-resident closure constants (~L*H floats — small)
@@ -172,6 +199,13 @@ class Trainer:
         self.tx = optax.inject_hyperparams(self._make_tx)(learning_rate=hp.lr)
         self.params = params
         self.opt_state = self.tx.init(params)
+        if mesh is not None:
+            # moment trees mirror the param tree's leaf paths, so the same
+            # path-matching spec rule shards them consistently (eager
+            # zeros_like already inherits shardings; this pins it explicitly)
+            from ..parallel.mesh import shard_supernet_params
+
+            self.opt_state = shard_supernet_params(self.opt_state, mesh)
         self.rng = np.random.default_rng(hp.seed)
         self._key = jax.random.PRNGKey(hp.seed)
         self.training_curve: List[List[float]] = []
@@ -266,30 +300,111 @@ class Trainer:
 
         self._eval_step_sweep = jax.jit(eval_step_sweep)
 
+        # mesh path: masks pre-chunked by the caller to [n_chunks, c, ...]
+        # with the c axis sharded over EVERY mesh axis (dp x mp devices all
+        # serve the config axis during eval — the sweep/EA parallelism of
+        # SURVEY §5); lax.scan walks the chunks device-side in one dispatch
+        def eval_step_sweep_chunked(params, frozen, masks_chunked, inputs,
+                                    zero_flags, fill_rows):
+            return jax.lax.map(
+                lambda m: jax.vmap(
+                    eval_step, in_axes=(None, None, 0, None, None, None))(
+                        params, frozen, m, inputs, zero_flags, fill_rows),
+                masks_chunked)
+
+        self._eval_step_sweep_chunked = jax.jit(eval_step_sweep_chunked)
+
     # public step wrappers keep the (params, masks, inputs, flags) call
-    # surface; frozen is threaded explicitly underneath
+    # surface; frozen is threaded explicitly underneath.  With a mesh, the
+    # wrappers also place every argument (batch dims shard over 'dp', masks
+    # and small operands replicate) so EVERY caller — train_epoch, evaluate,
+    # the sweep, EA — is mesh-correct without its own sharding code.
+    # jax.device_put with an argument's existing sharding is a no-op, so
+    # pre-placed inputs pass through free.
+    def _rep(self, tree):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(tree, NamedSharding(self.mesh, P()))
+
+    def _shard_batch(self, tree):
+        """Batch-dim placement onto the mesh's dp axis.  Single-process:
+        plain device_put sharding.  Multi-process (pods): each process holds
+        its LOCAL slice of the global batch (loaders built with
+        ``process_shard``) and the slices assemble into one global array."""
+        from ..parallel.mesh import global_batch_from_local, shard_batch
+
+        if jax.process_count() > 1:
+            return global_batch_from_local(self.mesh, tree)
+        return shard_batch(tree, self.mesh)
+
     def train_step(self, params, opt_state, masks, inputs, labels, valid, key):
+        if self.mesh is not None:
+            masks, key = self._rep((masks, key))
+            inputs = self._shard_batch(list(inputs))
+            labels, valid = self._shard_batch((labels, valid))
         return self._train_step(params, opt_state, self.frozen, masks, inputs,
                                 labels, valid, key)
 
     def eval_step(self, params, masks, inputs, zero_flags, fill_rows=None):
+        fill_rows = fill_rows if fill_rows is not None else self._fill_rows
+        if self.mesh is not None:
+            masks, zero_flags, fill_rows = self._rep(
+                (masks, zero_flags, fill_rows))
+            inputs = self._shard_batch(list(inputs))
         return self._eval_step(params, self.frozen, masks, inputs, zero_flags,
-                               fill_rows if fill_rows is not None
-                               else self._fill_rows)
+                               fill_rows)
 
     def eval_step_batched(self, params, stacked_masks, inputs, zero_flags,
                           fill_rows=None):
+        fill_rows = fill_rows if fill_rows is not None else self._fill_rows
+        if self.mesh is not None:
+            stacked_masks, inputs, zero_flags, fill_rows = self._rep(
+                (stacked_masks, list(inputs), zero_flags, fill_rows))
         return self._eval_step_batched(params, self.frozen, stacked_masks,
-                                       inputs, zero_flags,
-                                       fill_rows if fill_rows is not None
-                                       else self._fill_rows)
+                                       inputs, zero_flags, fill_rows)
+
+    def prep_sweep_masks(self, stacked_masks) -> "_SweepMasks":
+        """Place a stacked mask pytree for :meth:`eval_step_sweep` ONCE
+        (callers evaluate the same config grid against many data batches).
+        Without a mesh: plain device upload.  With one: pad the config axis
+        to a device-divisible chunk size, chunk host-side, and shard the
+        chunk axis over all mesh devices."""
+        if self.mesh is None:
+            return _SweepMasks(jax.tree.map(jnp.asarray, stacked_masks), None)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = self.mesh.devices.size
+        n = jax.tree.leaves(stacked_masks)[0].shape[0]
+        c = max(self.cfg_chunk, ndev)
+        c -= c % ndev
+        pad = (-n) % c
+        cfg_spec = P(None, tuple(self.mesh.axis_names))
+
+        def prep(x):
+            x = jnp.asarray(x)
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])])
+            x = x.reshape(-1, c, *x.shape[1:])
+            return jax.device_put(x, NamedSharding(self.mesh, cfg_spec))
+
+        return _SweepMasks(jax.tree.map(prep, stacked_masks), n)
 
     def eval_step_sweep(self, params, stacked_masks, inputs, zero_flags,
                         fill_rows=None):
-        return self._eval_step_sweep(params, self.frozen, stacked_masks,
-                                     inputs, zero_flags,
-                                     fill_rows if fill_rows is not None
-                                     else self._fill_rows)
+        fill_rows = fill_rows if fill_rows is not None else self._fill_rows
+        if not isinstance(stacked_masks, _SweepMasks):
+            stacked_masks = self.prep_sweep_masks(stacked_masks)
+        if self.mesh is None:
+            return self._eval_step_sweep(params, self.frozen,
+                                         stacked_masks.tree, inputs,
+                                         zero_flags, fill_rows)
+        inputs, zero_flags, fill_rows = self._rep(
+            (list(inputs), zero_flags, fill_rows))
+        out = self._eval_step_sweep_chunked(params, self.frozen,
+                                            stacked_masks.tree, inputs,
+                                            zero_flags, fill_rows)
+        return out.reshape(-1, *out.shape[2:])[:stacked_masks.n]
 
     @staticmethod
     def loader_fill_rows(loader) -> Optional[dict]:
@@ -309,7 +424,10 @@ class Trainer:
         )
 
     def _set_lr(self, lr: float) -> None:
-        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        val = jnp.asarray(lr, jnp.float32)
+        if self.mesh is not None:
+            val = self._rep(val)  # committed scalars must share the mesh
+        self.opt_state.hyperparams["learning_rate"] = val
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -367,10 +485,16 @@ class Trainer:
         sizes: List[int] = []
         proc_from = 0
         start = time.time()
+        # with a mesh the step wrapper owns placement (numpy shards straight
+        # to its dp layout — a host jnp.asarray here would force an extra
+        # device-0 hop); without one, upload once here as before
+        as_dev = (lambda x: x) if self.mesh is not None else jnp.asarray
+        put_masks = (self._rep if self.mesh is not None
+                     else functools.partial(jax.tree.map, jnp.asarray))
         for i_batch, batch in enumerate(train_iter):
-            inputs = [jnp.asarray(x) for x in batch.inputs]
-            labels = jnp.asarray(batch.labels)
-            valid = jnp.asarray(batch.valid)
+            inputs = [as_dev(x) for x in batch.inputs]
+            labels = as_dev(batch.labels)
+            valid = as_dev(batch.valid)
             self.params, self.opt_state, loss = self.train_step(
                 self.params, self.opt_state, current_masks, inputs, labels,
                 valid, self._next_key())
@@ -381,7 +505,7 @@ class Trainer:
             cfg = sample_train_config(
                 spec, hp.experiment_type, hp.modality_pool, self.rng,
                 all_module=hp.all_module, specific=hp.specific)
-            current_masks = jax.tree.map(jnp.asarray, build_masks(spec, cfg))
+            current_masks = put_masks(build_masks(spec, cfg))
 
             losses.append(loss)
             sizes.append(int(np.sum(batch.valid)))
@@ -411,16 +535,29 @@ class Trainer:
         for i in activate_modality:
             flags[i] = 1.0
         flags = jnp.asarray(flags)
-        masks = jax.tree.map(jnp.asarray, masks)
+        masks = (self._rep(masks) if self.mesh is not None
+                 else jax.tree.map(jnp.asarray, masks))
         fill_rows = self.loader_fill_rows(loader) or self._fill_rows
+        as_dev = (lambda x: x) if self.mesh is not None else jnp.asarray
+        multiproc = self.mesh is not None and jax.process_count() > 1
         preds_all, truth_all = [], []
         for batch in loader:
-            inputs = [jnp.asarray(x) for x in batch.inputs]
+            inputs = [as_dev(x) for x in batch.inputs]
             preds = self.eval_step(self.params, masks, inputs, flags,
                                    fill_rows)
-            keep = batch.valid > 0
+            valid, labels = batch.valid, np.asarray(batch.labels)
+            if multiproc:
+                # loader slices are process-local; gather the metric inputs
+                # back to every host (preds replicate via an XLA all-gather)
+                from jax.experimental import multihost_utils
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                preds = jax.device_put(preds, NamedSharding(self.mesh, P()))
+                valid = multihost_utils.process_allgather(valid, tiled=True)
+                labels = multihost_utils.process_allgather(labels, tiled=True)
+            keep = valid > 0
             preds_all.append(np.asarray(preds)[keep])
-            truth_all.append(np.asarray(batch.labels)[keep])
+            truth_all.append(labels[keep])
         preds = np.concatenate(preds_all)
         truths = np.concatenate(truth_all)
         return self._metric(preds, truths), preds, truths
@@ -449,8 +586,9 @@ class Trainer:
         :meth:`load_training_state` + ``train_loader.set_epoch``."""
         hp, spec = self.hp, self.spec
         M = spec.modality_num
-        full_masks = jax.tree.map(jnp.asarray,
-                                  build_masks(spec, full_active_config(spec)))
+        put_masks = (self._rep if self.mesh is not None
+                     else functools.partial(jax.tree.map, jnp.asarray))
+        full_masks = put_masks(build_masks(spec, full_active_config(spec)))
         current_masks = full_masks  # ctor default is the full MulT topology
         t0 = time.time()
         for epoch in range(start_epoch, hp.num_epochs + 1):

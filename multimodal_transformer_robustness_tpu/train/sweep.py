@@ -106,10 +106,17 @@ def subset_choices(spec: ModelSpec, experiment_type: str) -> List[Tuple[int, ...
     return out
 
 
-def upload_eval_batches(loader):
+def upload_eval_batches(loader, mesh=None):
     """Pre-upload a loader's batches to device for reuse across sweep calls
-    (returns the structure the sweep functions consume)."""
-    return [([jnp.asarray(x) for x in b.inputs], b.valid > 0,
+    (returns the structure the sweep functions consume).  With a mesh the
+    inputs replicate across it so the step wrappers' device_put is a no-op."""
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        up = lambda x: replicate(jnp.asarray(x), mesh)
+    else:
+        up = jnp.asarray
+    return [([up(x) for x in b.inputs], b.valid > 0,
              np.asarray(b.labels)[b.valid > 0]) for b in loader]
 
 
@@ -119,7 +126,6 @@ def missing_modality_sweep(
     test_loader,
     *,
     specific=None,
-    cfg_shard_mesh=None,
     max_cfg_chunk: int = 64,
     quiet: bool = False,
     device_batches=None,
@@ -131,7 +137,8 @@ def missing_modality_sweep(
     stack them, evaluate ALL of them per data batch with the trainer's
     vmapped ``eval_step_batched``, pick the best on valid, re-evaluate it on
     test, and print the reference's per-subset metric block
-    (train.py:376-404)."""
+    (train.py:376-404).  When the trainer carries a mesh, the config axis
+    shards across its devices inside ``eval_step_sweep``."""
     spec = trainer.spec
     hp = trainer.hp
     M = spec.modality_num
@@ -142,9 +149,9 @@ def missing_modality_sweep(
     # dominates wall-clock on a remote-tunnel TPU.  Callers running repeated
     # sweeps pass pre-uploaded batches via upload_eval_batches().
     if device_batches is None:
-        device_batches = upload_eval_batches(valid_loader)
+        device_batches = upload_eval_batches(valid_loader, trainer.mesh)
     if device_test is None:
-        device_test = upload_eval_batches(test_loader)
+        device_test = upload_eval_batches(test_loader, trainer.mesh)
     full_flags = jnp.ones((M,), jnp.float32)
 
     def eval_single(masks_np, batches):
@@ -192,12 +199,10 @@ def missing_modality_sweep(
         # (the reference zero-fills nothing here: activate_modality covers
         # all — structural masking does the work, train.py:370); the whole
         # subset grid stacks into ONE device pytree and evaluates in ONE
-        # dispatch per data batch (lax.map chunks it device-side)
-        stacked = jax.tree.map(jnp.asarray, stack_masks(mask_list))
-        if cfg_shard_mesh is not None:
-            from ..parallel.mesh import shard_cfg_axis
-
-            stacked = shard_cfg_axis(stacked, cfg_shard_mesh)
+        # dispatch per data batch (lax.map chunks it device-side; under a
+        # trainer mesh eval_step_sweep instead shards the config axis over
+        # the devices — prep places the grid ONCE for all data batches)
+        stacked = trainer.prep_sweep_masks(stack_masks(mask_list))
         accs = np.zeros((n_real,), np.float64)
         per_batch_preds: List[np.ndarray] = []
         truths: List[np.ndarray] = []

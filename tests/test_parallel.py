@@ -25,9 +25,12 @@ from multimodal_transformer_robustness_tpu.parallel.mesh import (
     make_mesh,
     make_multihost_mesh,
     multihost_axes,
+    parse_mesh_axes,
     replicate,
     shard_batch,
     shard_cfg_axis,
+    shard_supernet_params,
+    supernet_param_spec,
 )
 
 
@@ -39,26 +42,6 @@ def _spec():
         attn_dropout=(0.0, 0.0, 0.0, 0.0), relu_dropout=0.0, res_dropout=0.0,
         out_dropout=0.0, embed_dropout=0.0, attn_mask=True, output_dim=1,
         header_overrides={"t": "rnn"})
-
-
-def _param_spec(path, x):
-    """dp x mp shardings (mirror of __graft_entry__.py): tensor-parallel over
-    attention heads and FFN hidden units."""
-    name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-    if x.ndim >= 2:
-        if "in_proj_w" in name and x.ndim == 5:
-            return P(None, None, "mp", None, None)
-        if "in_proj_b" in name and x.ndim == 4:
-            return P(None, None, "mp", None)
-        if "out_w" in name and x.ndim == 4:
-            return P(None, None, "mp", None)
-        if "fc1" in name and "w" in name and x.ndim == 3:
-            return P(None, "mp", None)
-        if "fc1" in name and name.endswith("b") and x.ndim == 2:
-            return P(None, "mp")
-        if "fc2" in name and "w" in name and x.ndim == 3:
-            return P(None, None, "mp")
-    return P()
 
 
 @pytest.fixture(scope="module")
@@ -96,11 +79,7 @@ def test_dp_mp_sharded_train_step_equals_unsharded(setup):
     p1, o1, l1 = step(params, tx.init(params), masks, inputs, labels)
 
     mesh = make_mesh((("dp", 4), ("mp", 2)))
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    params_sh = jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(params),
-        [jax.device_put(x, NamedSharding(mesh, _param_spec(path, x)))
-         for path, x in flat])
+    params_sh = shard_supernet_params(params, mesh)
     inputs_sh = shard_batch(list(inputs), mesh)
     labels_sh = shard_batch(labels, mesh)
     masks_sh = replicate(masks, mesh)
@@ -224,3 +203,103 @@ def test_batch_iterator_process_shard():
             np.concatenate([p.inputs[0] for p in parts]), b.inputs[0])
         np.testing.assert_array_equal(
             np.concatenate([p.valid for p in parts]), b.valid)
+
+
+# ------------------------------------------------- production Trainer + mesh
+
+def test_parse_mesh_axes():
+    assert parse_mesh_axes("dp=8") == (("dp", 8),)
+    assert parse_mesh_axes("dp=4,mp=2") == (("dp", 4), ("mp", 2))
+    assert parse_mesh_axes("dp=-1") == (("dp", -1),)
+    assert parse_mesh_axes("cfg=") == (("cfg", -1),)
+
+
+def test_supernet_param_spec_mp_fallback(setup):
+    spec, params, frozen, inputs, labels = setup
+    mesh_dp = make_mesh((("dp", 8),))
+    sh = shard_supernet_params(params, mesh_dp)  # no mp axis -> replicated
+    for leaf in jax.tree.leaves(sh):
+        assert leaf.sharding.spec == P()
+
+
+def _make_trainer(spec, params, frozen, mesh=None, **hp_kw):
+    from multimodal_transformer_robustness_tpu.train import (TrainHParams,
+                                                             Trainer)
+
+    hp = TrainHParams(batch_size=8, lr=1e-3, optim="Adam", num_epochs=1,
+                      experiment_type="random_sample", criterion="L1Loss",
+                      dataset="mosei_senti", seed=7, **hp_kw)
+    # fresh param buffers per trainer: the jitted step donates params/opt
+    return Trainer(spec, jax.tree.map(jnp.array, params), frozen, hp,
+                   mesh=mesh)
+
+
+def _loaders(spec, n=16, t=6, bs=8):
+    from multimodal_transformer_robustness_tpu.data.loaders import (
+        ArrayDataset, BatchIterator)
+
+    def ds(seed):
+        r = np.random.default_rng(seed)
+        return ArrayDataset(
+            [r.standard_normal((n, t, d)).astype(np.float32)
+             for d in spec.orig_dimensions],
+            r.standard_normal((n, 1)).astype(np.float32),
+            dims=spec.orig_dimensions, seq_len=t)
+
+    return (BatchIterator(ds(0), bs, shuffle=True, seed=5),
+            BatchIterator(ds(1), bs), BatchIterator(ds(2), bs))
+
+
+def test_trainer_mesh_fit_matches_unsharded(setup):
+    """A cli.main --mesh dp=4,mp=2 style run through the PRODUCTION Trainer
+    (fit: train epoch + evals + plateau scheduling) matches the unsharded
+    trainer's numerics."""
+    spec, params, frozen, inputs, labels = setup
+    t_plain = _make_trainer(spec, params, frozen)
+    t_mesh = _make_trainer(spec, params, frozen,
+                           mesh=make_mesh((("dp", 4), ("mp", 2))))
+
+    curve_plain = t_plain.fit(*_loaders(spec))
+    curve_mesh = t_mesh.fit(*_loaders(spec))
+    np.testing.assert_allclose(np.asarray(curve_mesh),
+                               np.asarray(curve_plain), rtol=1e-5, atol=1e-6)
+    # sharded reduction order perturbs tiny gradients; Adam's
+    # rsqrt-normalization amplifies those to ~1e-5 absolute after a step
+    for a, b in zip(jax.tree.leaves(t_plain.params),
+                    jax.tree.leaves(t_mesh.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_trainer_mesh_sweep_and_ea_match_unsharded(setup):
+    """missing_modality_sweep and EA fitness: config axis sharded over the
+    mesh == unsharded (the production eval_step_sweep path)."""
+    from multimodal_transformer_robustness_tpu.train.ea import (
+        EAHParams, EvolutionSearch)
+    from multimodal_transformer_robustness_tpu.train.sweep import (
+        missing_modality_sweep)
+
+    spec, params, frozen, inputs, labels = setup
+    _, valid_loader, test_loader = _loaders(spec)
+    t_plain = _make_trainer(spec, params, frozen)
+    t_mesh = _make_trainer(spec, params, frozen,
+                           mesh=make_mesh((("dp", 4), ("mp", 2))))
+
+    r_plain = missing_modality_sweep(t_plain, valid_loader, test_loader,
+                                     max_cfg_chunk=16, quiet=True)
+    r_mesh = missing_modality_sweep(t_mesh, valid_loader, test_loader,
+                                    max_cfg_chunk=16, quiet=True)
+    assert set(r_plain) == set(r_mesh)
+    for k in r_plain:
+        np.testing.assert_allclose(r_mesh[k]["valid_acc"],
+                                   r_plain[k]["valid_acc"], rtol=1e-6)
+        assert r_mesh[k]["best_cfg"] == r_plain[k]["best_cfg"]
+
+    ea_kw = dict(hp=EAHParams(population_size=6, max_time_budget=1, seed=3),
+                 active_modality=[0, 1, 2], valid_loader=valid_loader,
+                 test_loader=test_loader, max_cfg_chunk=8)
+    ea_plain = EvolutionSearch(t_plain, **ea_kw)
+    ea_mesh = EvolutionSearch(t_mesh, **ea_kw)
+    genomes = [ea_plain.random_genome() for _ in range(6)]
+    np.testing.assert_allclose(ea_mesh.eval_population(genomes),
+                               ea_plain.eval_population(genomes), rtol=1e-6)
