@@ -84,7 +84,8 @@ def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
 
         t0 = time.time()
         feats = precompute_text_features(frozen, bert_cfg, np.asarray(text),
-                                         batch_size=min(B, 1024))
+                                         batch_size=min(B, 1024),
+                                         compute_dtype=compute_dtype)
         print(f"text-feature precompute: {time.time() - t0:.2f} s for "
               f"{B} rows (once per dataset, amortized over all epochs)",
               file=sys.stderr)

@@ -81,17 +81,30 @@ def restore_training_state(path: str, trainer) -> int:
     import numpy as np
     import orbax.checkpoint as ocp
 
+    from .config import full_active_config
+    from .masks import build_masks
+
     path = os.path.abspath(path)
     template = jax.tree.map(np.asarray,
                             {"params": trainer.params,
                              "opt_state": trainer.opt_state,
-                             "key": trainer._key})
-    tree = ocp.PyTreeCheckpointer().restore(path, item=template)
+                             "key": trainer._key,
+                             "carry_masks": build_masks(
+                                 trainer.spec,
+                                 full_active_config(trainer.spec))})
+    try:
+        tree = ocp.PyTreeCheckpointer().restore(path, item=template)
+    except Exception:
+        # checkpoint predates the carried-mask state (saved before the
+        # test_single resume fix): restore without it
+        template.pop("carry_masks")
+        tree = ocp.PyTreeCheckpointer().restore(path, item=template)
     with open(path + ".train.json") as f:
         meta = json.load(f)
     trainer.params = tree["params"]
     trainer.load_training_state(
-        {"opt_state": tree["opt_state"], "key": tree["key"]}, meta)
+        {k: tree[k] for k in ("opt_state", "key", "carry_masks")
+         if k in tree}, meta)
     return len(trainer.training_curve) + 1
 
 

@@ -98,6 +98,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "substitutes the precomputed BERT(zero-tokens) row). "
                         "Removes ~half the train-step cost at the MOSEI "
                         "config — see train/features.py")
+    p.add_argument("--sort_supernet", action="store_true",
+                   help="after training, importance-sort every encoder "
+                        "layer's heads/head-dims/FFN units (OFA-style, "
+                        "models/sorting.py) so prefix-masked subnets keep "
+                        "the most important units; full-config outputs are "
+                        "invariant. Applies before --run_sweep and before "
+                        "the final checkpoint. The reference defines sorts "
+                        "(dynamic_multihead_attention.py:166-241) but never "
+                        "calls them from any driver")
     p.add_argument("--mesh", type=str, default=None,
                    help="device mesh for multi-chip scaling, e.g. 'dp=8' "
                         "(data parallel over all 8 chips), 'dp=4,mp=2' "
@@ -235,9 +244,12 @@ def main(argv=None):
         from ..train.features import CachedTextDataset
 
         print("Precomputing frozen-BERT text features (--cache_text)....")
-        train_data = CachedTextDataset(train_data, frozen, bert_cfg)
-        valid_data = CachedTextDataset(valid_data, frozen, bert_cfg)
-        test_data = CachedTextDataset(test_data, frozen, bert_cfg)
+        train_data = CachedTextDataset(train_data, frozen, bert_cfg,
+                                       compute_dtype=args.compute_dtype)
+        valid_data = CachedTextDataset(valid_data, frozen, bert_cfg,
+                                       compute_dtype=args.compute_dtype)
+        test_data = CachedTextDataset(test_data, frozen, bert_cfg,
+                                      compute_dtype=args.compute_dtype)
         zero_rows = train_data.zero_fill_rows()  # eval loaders carry their
         #                                          own rows (Trainer resolves
         #                                          per loader)
@@ -301,6 +313,20 @@ def main(argv=None):
 
     trainer.fit(train_loader, valid_loader, test_loader, save_fn=save_fn,
                 epoch_fn=epoch_fn, start_epoch=start_epoch)
+
+    if args.sort_supernet:
+        from ..models.sorting import sort_supernet
+
+        print("Sorting supernet units by importance (--sort_supernet)....")
+        trainer.params = sort_supernet(spec, trainer.params)
+        if mesh is not None:  # re-pin the library shardings after the gathers
+            from ..parallel.mesh import shard_supernet_params
+
+            trainer.params = shard_supernet_params(trainer.params, mesh)
+        if args.model_path:
+            save_checkpoint(args.model_path + "_sorted", trainer.params,
+                            extra={"sorted": True})
+            print("Saved sorted model at ", args.model_path + "_sorted")
 
     if args.run_sweep:
         if args.experiment_type == "baseline_ia":

@@ -94,6 +94,34 @@ def multihead_attention(
         # would silently promote every downstream op)
         return (((y + b_in[i]) * hd)).astype(x.dtype)
 
+    # ---- T==1 fast path (trace-time: shapes are static) --------------------
+    # After the RNN/CNN/BERT headers every stream is a single fused step
+    # (models/mult.py: base is [M, B, 1, d]), so the 18 MOSEI stacks all run
+    # attention at Tq == Tk == 1 — where softmax over one key is IDENTICALLY
+    # 1 (f32 exp(0)/exp(0)) and the future mask is structurally zero.  The
+    # whole attention therefore reduces to attention-dropout of the constant
+    # 1 times v, then the out-projection: q/k projections, logits, softmax
+    # and mask all disappear.  Exact, gradients included: d softmax(single
+    # logit) = w*g - w*(w@g) = 0, so the slow path's q/k-projection grads
+    # are exact f32 zeros — precisely what the unused leaves get here.  The
+    # dropout draw keeps the slow path's rng/shape ([B, H, 1, 1]) so the
+    # realization is bit-identical to the XLA path.  (Measured motivation:
+    # BENCH_NOTES — the T=1 stacks burned 12-15 ms/step at B=1024 for ~1 ms
+    # of MXU work, dominated by softmax/elementwise/RNG traffic.)
+    tq, tk = query.shape[1], key.shape[1]
+    if tq == 1 and tk == 1 and (attn_bias is None or impl == "flash"):
+        v = proj(value, 2)
+        ones = jnp.ones((query.shape[0], w_in.shape[1], 1, 1), query.dtype)
+        weights = dropout(rng, ones, attn_dropout, train)      # [B, H, 1, 1]
+        attn = (weights.transpose(0, 2, 1, 3).astype(jnp.float32)
+                * v.astype(jnp.float32)).astype(query.dtype)   # [B, 1, H, Dh]
+        out = jnp.einsum("bqhd,ehd->bqe", attn, params["out_w"],
+                         preferred_element_type=jnp.float32)
+        out = out + params["out_b"]
+        if channel_mask is not None:
+            out = out * channel_mask
+        return out.astype(query.dtype)
+
     q = proj(query, 0)
     k = proj(key, 1)
     v = proj(value, 2)

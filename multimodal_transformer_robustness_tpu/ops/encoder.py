@@ -211,7 +211,10 @@ def encoder_forward(
     if hp.attn_mask:
         tq = x.shape[1]
         tk = x_kv.shape[1] if x_kv is not None else tq
-        attn_bias = future_mask(tq, tk)
+        if not (tq == 1 and tk == 1):
+            # future_mask(1, 1) is identically 0 (col - row >= 1 never
+            # holds): skip it so attention.py's T==1 fast path engages
+            attn_bias = future_mask(tq, tk)
 
     if hp.layers:
         layer_rngs = (

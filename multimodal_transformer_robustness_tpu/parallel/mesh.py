@@ -192,8 +192,24 @@ def make_multihost_mesh(axes: Sequence[tuple] = (("dp", -1),),
     from jax.experimental import mesh_utils
 
     ici, dcn = multihost_axes(axes, dcn_over)
-    devices = mesh_utils.create_hybrid_device_mesh(
-        [s for _, s in ici], [s for _, s in dcn], devices=jax.devices())
+    try:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            [s for _, s in ici], [s for _, s in dcn], devices=jax.devices())
+    except ValueError:
+        # platforms without slice structure (multi-process CPU — the test
+        # harness — or single-slice clusters): processes ARE the DCN axis;
+        # jax.devices() orders devices process-contiguously, so putting the
+        # process factor slowest on ``dcn_over`` keeps each process's block
+        # contiguous
+        names = [n for n, _ in ici]
+        sizes = [s for n, s in ici]
+        i = names.index(dcn_over)
+        sizes[i] *= dict(dcn)[dcn_over]
+        devices = np.array(jax.devices())
+        perm = list(range(len(names)))
+        perm.insert(0, perm.pop(i))  # dcn_over slowest-varying
+        inv = np.argsort(perm)
+        devices = devices.reshape([sizes[p] for p in perm]).transpose(inv)
     return Mesh(devices, tuple(n for n, _ in ici))
 
 

@@ -41,12 +41,25 @@ def find_text_slot(inputs: List[np.ndarray]) -> Optional[int]:
     return None
 
 
-def _jitted_extractor(frozen: dict, bert_cfg: Optional[bert_mod.BertConfig]):
+def _jitted_extractor(frozen: dict, bert_cfg: Optional[bert_mod.BertConfig],
+                      compute_dtype: str = "float32"):
+    """``compute_dtype`` must match the model spec's policy: the online path
+    runs BERT with compute-dtype-cast frozen params (mult.py supernet_apply
+    casts at the boundary), so the precompute must too or the two pipelines
+    diverge at the last bf16 bit (ADVICE r2).  The f32 storage of bf16
+    outputs is lossless, so the boundary cast-back reproduces the online
+    activations exactly (tests/test_cached_text.py::test_bf16_policy_exact).
+    """
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def run(fr, text):
-        return bert_text_features(fr, bert_cfg, text)
+        if compute_dtype != "float32":
+            cdt = jnp.dtype(compute_dtype)
+            fr = jax.tree.map(
+                lambda x: x.astype(cdt) if x.dtype == jnp.float32 else x, fr)
+        return bert_text_features(fr, bert_cfg, text).astype(jnp.float32)
 
     return functools.partial(run, frozen)
 
@@ -54,12 +67,14 @@ def _jitted_extractor(frozen: dict, bert_cfg: Optional[bert_mod.BertConfig]):
 def precompute_text_features(frozen: dict,
                              bert_cfg: Optional[bert_mod.BertConfig],
                              text: np.ndarray,
-                             batch_size: int = 256) -> np.ndarray:
-    """[3, N, L] int token stack -> [N, L, H] f32 frozen-BERT features.
+                             batch_size: int = 256,
+                             compute_dtype: str = "float32") -> np.ndarray:
+    """[3, N, L] int token stack -> [N, L, H] f32 frozen-BERT features
+    (computed under ``compute_dtype`` — see _jitted_extractor).
 
     Chunked so arbitrarily large datasets fit on-device; the tail chunk pads
     to ``batch_size`` (one compiled shape, no retrace)."""
-    run = _jitted_extractor(frozen, bert_cfg)
+    run = _jitted_extractor(frozen, bert_cfg, compute_dtype)
     n = text.shape[1]
     out = []
     for start in range(0, n, batch_size):
@@ -76,10 +91,11 @@ def precompute_text_features(frozen: dict,
 
 def zero_token_features(frozen: dict,
                         bert_cfg: Optional[bert_mod.BertConfig],
-                        seq_len: int) -> np.ndarray:
+                        seq_len: int,
+                        compute_dtype: str = "float32") -> np.ndarray:
     """[L, H] features of an all-zero token stack — the value a zero-filled
     text modality produces in the online pipeline (train.py:218 semantics)."""
-    run = _jitted_extractor(frozen, bert_cfg)
+    run = _jitted_extractor(frozen, bert_cfg, compute_dtype)
     zeros = np.zeros((3, 1, seq_len), np.int64)
     return np.asarray(run(zeros), np.float32)[0]
 
@@ -95,12 +111,12 @@ class CachedTextDataset:
 
     def __init__(self, base, frozen: dict,
                  bert_cfg: Optional[bert_mod.BertConfig] = None,
-                 batch_size: int = 256):
+                 batch_size: int = 256, compute_dtype: str = "float32"):
         from ..data.loaders import BatchIterator
 
         self.base = base
         self.text_slot: Optional[int] = None
-        run = _jitted_extractor(frozen, bert_cfg)
+        run = _jitted_extractor(frozen, bert_cfg, compute_dtype)
         feats: List[np.ndarray] = []
         L = None
         # iterate in deterministic order with fixed shapes; drop pad rows
@@ -114,7 +130,8 @@ class CachedTextDataset:
             L = text.shape[-1]
             feats.append(np.asarray(run(text), np.float32)[keep])
         self.features = np.concatenate(feats, axis=0)  # [N, L, H]
-        self.zero_row = zero_token_features(frozen, bert_cfg, L)  # [L, H]
+        self.zero_row = zero_token_features(frozen, bert_cfg, L,
+                                            compute_dtype)  # [L, H]
 
     def __len__(self) -> int:
         return len(self.base)

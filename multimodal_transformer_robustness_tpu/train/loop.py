@@ -148,18 +148,11 @@ class Trainer:
     :meth:`fit`."""
 
     #: torch.optim name -> optax factory (the reference resolves the --optim
-    #: flag with getattr(torch.optim, name), train.py:51)
-    OPTIMIZERS = {
-        "Adam": optax.adam,
-        "AdamW": optax.adamw,
-        "SGD": optax.sgd,
-        "RMSprop": optax.rmsprop,
-        "Adagrad": optax.adagrad,
-        "Adadelta": optax.adadelta,
-        "Adamax": optax.adamax,
-        "NAdam": optax.nadam,
-        "RAdam": optax.radam,
-    }
+    #: flag with getattr(torch.optim, name), train.py:51 — so every non-lr
+    #: hyperparameter must be the TORCH default; see train/optim.py for the
+    #: optax-vs-torch default mismatches this table corrects and
+    #: tests/test_optim_parity.py for the per-optimizer torch parity oracle)
+    from .optim import TORCH_DEFAULT_OPTIMIZERS as OPTIMIZERS
 
     def __init__(self, spec: ModelSpec, params, frozen: dict,
                  hp: TrainHParams, bert_cfg: Optional[BertConfig] = None,
@@ -210,6 +203,11 @@ class Trainer:
         self._key = jax.random.PRNGKey(hp.seed)
         self.training_curve: List[List[float]] = []
         self.best_valid = -1e8  # tracked across fit() calls for exact resume
+        # the mask config carried across epoch boundaries by fit() (e.g.
+        # test_single trains under eval_masks from epoch 2 on); part of the
+        # exact-resume state — without it a resumed test_single run's first
+        # batch would train under full_masks (ADVICE r2 #1)
+        self._carry_masks: Optional[SupernetMasks] = None
 
         spec_apply = functools.partial(supernet_apply, spec)
 
@@ -442,7 +440,12 @@ class Trainer:
         optimization on ``--pretrain`` (train.py:31-33, 508-511); exact
         resume is a deliberate beyond-reference capability.  Serialize the
         array tree with checkpoint.save/restore_training_state."""
-        arrays = {"opt_state": self.opt_state, "key": self._key}
+        carry = self._carry_masks
+        if carry is None:  # fit()'s epoch-1 default
+            carry = jax.tree.map(jnp.asarray, build_masks(
+                self.spec, full_active_config(self.spec)))
+        arrays = {"opt_state": self.opt_state, "key": self._key,
+                  "carry_masks": carry}
         meta = {
             "scheduler": {"lr": self.scheduler.lr,
                           "best": self.scheduler.best,
@@ -460,6 +463,9 @@ class Trainer:
         restored = jax.tree.leaves(arrays["opt_state"])
         self.opt_state = jax.tree.unflatten(treedef, restored)
         self._key = jnp.asarray(arrays["key"])
+        if "carry_masks" in arrays:
+            self._carry_masks = jax.tree.map(jnp.asarray,
+                                             arrays["carry_masks"])
         s = meta["scheduler"]
         self.scheduler.lr = float(s["lr"])
         self.scheduler.best = float(s["best"])
@@ -589,7 +595,10 @@ class Trainer:
         put_masks = (self._rep if self.mesh is not None
                      else functools.partial(jax.tree.map, jnp.asarray))
         full_masks = put_masks(build_masks(spec, full_active_config(spec)))
-        current_masks = full_masks  # ctor default is the full MulT topology
+        # ctor default is the full MulT topology; a resumed run continues
+        # under the mask config the interrupted run carried into this epoch
+        current_masks = (put_masks(self._carry_masks)
+                         if self._carry_masks is not None else full_masks)
         t0 = time.time()
         for epoch in range(start_epoch, hp.num_epochs + 1):
             ep_start = time.time()
@@ -633,6 +642,9 @@ class Trainer:
                 self.best_valid = val_acc
                 if save_fn is not None:
                     save_fn(self.params, epoch, val_acc)
+            # checkpointed BEFORE epoch_fn so save_training_state captures
+            # the config the next epoch trains under
+            self._carry_masks = current_masks
             if epoch_fn is not None:
                 epoch_fn(self, epoch)
             if new_lr <= 1e-16:

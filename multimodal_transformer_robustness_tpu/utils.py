@@ -34,8 +34,8 @@ def set_default_prng(impl: str = "rbg") -> None:
     the same uniform-draw contract — dropout REALIZATIONS change (as they
     differ from torch's generator anyway, and between any two jax impls);
     the distribution, which is the reference contract, does not.  Training
-    CLIs and bench default to rbg (``--prng threefry`` reverts); tests run
-    under the default threefry.
+    CLIs and bench default to rbg (``--prng threefry2x32`` reverts); tests
+    run under the default threefry.
     """
     import jax
 

@@ -134,3 +134,38 @@ def test_cached_dataset_surface():
     assert inputs[0].shape == (2,) + cached.features.shape[1:]
     assert inputs[0].dtype == np.float32
     np.testing.assert_allclose(inputs[0], cached.features[[3, 1]])
+
+
+def test_bf16_policy_exact():
+    """Under the bfloat16 compute policy the precompute runs BERT with the
+    SAME bf16-cast frozen params as the online path (f32 storage of bf16
+    values is lossless), so the two pipelines stay BIT-equal — previously
+    the extractor ran f32 and only the final features were cast (ADVICE
+    r2)."""
+    from multimodal_transformer_robustness_tpu import (build_masks,
+                                                       full_active_config)
+    from multimodal_transformer_robustness_tpu.models.bert import (
+        tiny_bert_config)
+
+    spec = dataclasses.replace(_spec(), compute_dtype="bfloat16")
+    bert_cfg = tiny_bert_config()
+    params, frozen = init_supernet(jax.random.PRNGKey(0), spec,
+                                   bert_cfg=bert_cfg)
+    ds = _TextDataset()
+    cached = CachedTextDataset(ds, frozen, bert_cfg, batch_size=5,
+                               compute_dtype="bfloat16")
+    hp = TrainHParams(batch_size=4, optim="SGD", criterion="L1Loss", seed=0,
+                      dataset="mosei_senti")
+    mk = lambda d: Trainer(spec, jax.tree.map(jnp.copy, params), frozen, hp,
+                           bert_cfg=bert_cfg,
+                           zero_fill_rows=d.zero_fill_rows()
+                           if isinstance(d, CachedTextDataset) else None)
+    online, off = mk(ds), mk(cached)
+    masks = build_masks(spec, full_active_config(spec))
+    for active in ([0, 1], [1], [0]):
+        _, p_on, t_on = online.evaluate(BatchIterator(ds, 4), masks, active)
+        _, p_off, t_off = off.evaluate(BatchIterator(cached, 4), masks,
+                                       active)
+        np.testing.assert_array_equal(p_off, p_on,
+                                      err_msg=f"active={active}")
+        np.testing.assert_array_equal(t_off, t_on)

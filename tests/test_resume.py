@@ -11,6 +11,7 @@ import dataclasses
 
 import jax
 import numpy as np
+import pytest
 
 from multimodal_transformer_robustness_tpu import ModelSpec
 from multimodal_transformer_robustness_tpu.checkpoint import (
@@ -33,11 +34,13 @@ def _spec():
         output_dim=10)
 
 
-def _hp(num_epochs):
+def _hp(num_epochs, experiment_type="random_sample",
+        modality_pool=([0], [1], [0, 1])):
     return TrainHParams(batch_size=16, lr=2e-3, clip=1.0,
                         num_epochs=num_epochs, when=5,
-                        experiment_type="random_sample",
-                        modality_pool=[[0], [1], [0, 1]],
+                        experiment_type=experiment_type,
+                        modality_pool=[list(p) for p in modality_pool]
+                        if modality_pool else None,
                         criterion="CrossEntropyLoss", dataset="avmnist",
                         log_interval=1000)
 
@@ -52,7 +55,15 @@ def _fit(trainer, data, start_epoch=1, epoch_fn=None):
     return trainer
 
 
-def test_resume_is_bit_exact(tmp_path):
+# test_single / baseline_ia carry a non-full mask config across the epoch
+# boundary (fit sets eval_masks / leaves the last sampled config active) —
+# the resume state must include it (ADVICE r2 #1)
+@pytest.mark.parametrize("etype,pool", [
+    ("random_sample", ([0], [1], [0, 1])),
+    ("test_single", ([0, 1], [1])),
+    ("baseline_ia", None),
+])
+def test_resume_is_bit_exact(tmp_path, etype, pool):
     spec = _spec()
     data = (synth_avmnist(48, seed=0), synth_avmnist(24, seed=1),
             synth_avmnist(24, seed=2))
@@ -60,16 +71,16 @@ def test_resume_is_bit_exact(tmp_path):
 
     # straight 4-epoch run
     params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
-    straight = _fit(Trainer(spec, params, frozen, _hp(4)), data)
+    straight = _fit(Trainer(spec, params, frozen, _hp(4, etype, pool)), data)
 
     # 2 epochs, save at every epoch end, then a FRESH trainer restores and
     # finishes (fresh params/optimizer as a cold process would have)
     params2, frozen2 = init_supernet(jax.random.PRNGKey(0), spec)
-    _fit(Trainer(spec, params2, frozen2, _hp(2)), data,
+    _fit(Trainer(spec, params2, frozen2, _hp(2, etype, pool)), data,
          epoch_fn=lambda tr, ep: save_training_state(path, tr))
 
     params3, frozen3 = init_supernet(jax.random.PRNGKey(7), spec)  # different
-    resumed = Trainer(spec, params3, frozen3, _hp(4))
+    resumed = Trainer(spec, params3, frozen3, _hp(4, etype, pool))
     start = restore_training_state(path, resumed)
     assert start == 3
     _fit(resumed, data, start_epoch=start)
