@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--generations", type=int, default=3)
     p.add_argument("--serial_probe", type=int, default=4,
                    help="genomes to time serially for the estimate")
+    p.add_argument("--full_search", action="store_true",
+                   help="additionally RUN the full reference-default search "
+                        "(population x 200 generations) and record the "
+                        "MEASURED wall-clock (VERDICT r2 next #4a: no more "
+                        "'est' on the EA line)")
     args = p.parse_args(argv)
 
     import jax
@@ -116,7 +121,29 @@ def main(argv=None):
             gen_s * 200 / 3600, 3),
         "reference_default_search_est_h_serial_jax": round(
             serial_gen_est * 200 / 3600, 2),
-    }))
+    }), flush=True)
+
+    if args.full_search:
+        # VERDICT r2 next #4a: RUN the reference-default search (pop x 200
+        # generations, EA.py defaults) and record the MEASURED wall-clock —
+        # no more "est" on the EA line.
+        ea_full = EvolutionSearch(
+            trainer,
+            EAHParams(population_size=args.population, max_time_budget=200,
+                      seed=1111),
+            active_modality=[0, 1, 2], valid_loader=valid, test_loader=test)
+        t0 = time.time()
+        best_valids = ea_full.search(verbose=False)[0]
+        full_s = time.time() - t0
+        print(json.dumps({
+            "metric": "mosei_ea_full_search_wall_clock",
+            "population": args.population,
+            "generations": 200,
+            "rows": args.rows,
+            "measured_search_s": round(full_s, 1),
+            "measured_search_min": round(full_s / 60, 2),
+            "best_valid": round(float(best_valids[-1]), 4),
+        }), flush=True)
 
 
 if __name__ == "__main__":
