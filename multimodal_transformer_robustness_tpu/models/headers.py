@@ -43,8 +43,31 @@ def _init_rnn_header(rng: jax.Array, input_dim: int, d: int) -> dict:
     }
 
 
+def _rnn_header_tmajor(params: dict, x: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Fused-kernel header path (TPU): the whole two-level pipeline runs
+    T-major so each level's single packed projection einsum feeds the
+    bidirectional recurrence kernel with ZERO layout fixup (no gate
+    stack/split/transpose/reverse/bias passes — see ops/bigru_pallas.py;
+    the step profile measured that glue at several ms at B=1024)."""
+    from ..ops.bigru_pallas import (bigru_finals_tmajor, bigru_level_tmajor)
+
+    x_t = jnp.swapaxes(x, 0, 1)                       # [T, B, in] once
+    hs1 = bigru_level_tmajor(params["gru1"], x_t, interpret)   # [T, B, d]
+    d = hs1.shape[-1]
+    hs1 = masked_layer_norm(hs1, jnp.ones((d,), hs1.dtype),
+                            jnp.zeros((d,), hs1.dtype))
+    hs2 = bigru_level_tmajor(params["gru2"], hs1, interpret)
+    return bigru_finals_tmajor(hs2)[:, None, :]       # [B, 1, d]
+
+
 def _rnn_header_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """x: [B, T, input_dim] -> [B, 1, d]."""
+    from ..ops.gru import resolved_impl
+
+    impl = resolved_impl()
+    if impl in ("pallas", "pallas_interpret"):
+        return _rnn_header_tmajor(params, x, impl == "pallas_interpret")
     out1, _ = bigru_forward(params["gru1"], x)
     # non-affine LayerNorm over d (reference nn.LayerNorm(hidden_dim,
     # elementwise_affine=False))
@@ -116,9 +139,18 @@ def _grouped_bigru_level(gru_params: list, xs: list) -> list:
 
 
 def grouped_rnn_header_apply(rnn_params: list, xs: list) -> list:
-    """Run several RNN_Headers' GRUs as two grouped recurrence calls (one
-    per level) — all headers and both directions share each kernel launch.
-    """
+    """Run several same-length RNN_Headers' GRUs together.
+
+    On the fused-kernel path each header is one T-major pipeline (the
+    kernel batches both directions internally; per-header calls need no
+    cross-header width padding).  Elsewhere the stacked-G-axis grouping
+    below shares the recurrence launches."""
+    from ..ops.gru import resolved_impl
+
+    impl = resolved_impl()
+    if impl in ("pallas", "pallas_interpret"):
+        return [_rnn_header_tmajor(p, x, impl == "pallas_interpret")
+                for p, x in zip(rnn_params, xs)]
     n = len(xs)
     if n == 1:
         return [_rnn_header_apply(rnn_params[0], xs[0])]

@@ -43,6 +43,15 @@ from .gru_pallas import gru_recurrence_pallas
 RECURRENCE_IMPL = "auto"
 
 
+def resolved_impl() -> str:
+    """The concrete recurrence implementation for this trace: resolves
+    "auto" to "pallas" on TPU and "xla" elsewhere."""
+    impl = RECURRENCE_IMPL
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
 def init_gru(rng: jax.Array, input_dim: int, hidden_dim: int) -> dict:
     k = math.sqrt(1.0 / hidden_dim)
     ks = jax.random.split(rng, 4)
