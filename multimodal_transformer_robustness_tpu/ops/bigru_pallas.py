@@ -107,13 +107,18 @@ def _fwd_kernel(x_ref, wp, wt, bc, bhn, o_ref, h_ref, *, kt: int,
     order = reversed(range(kt)) if reverse else range(kt)
     for k in order:  # static unroll; the block's storage rows, in
         #              this direction's processing order
+        # recurrent dots run in the weight dtype (bf16 in production: an
+        # f32 h against bf16 wt would promote to an f32 MXU matmul, ~4x
+        # slower; the scan path's carry is bf16 there too) — f32 scratch
+        # keeps the h accumulation itself full-precision
+        hm = h.astype(wt.dtype)
         r = jax.nn.sigmoid(
-            gr[k] + bc[0] + jnp.dot(h, wt[0], preferred_element_type=f32))
+            gr[k] + bc[0] + jnp.dot(hm, wt[0], preferred_element_type=f32))
         z = jax.nn.sigmoid(
-            gz[k] + bc[1] + jnp.dot(h, wt[1], preferred_element_type=f32))
+            gz[k] + bc[1] + jnp.dot(hm, wt[1], preferred_element_type=f32))
         n = jnp.tanh(
             gn[k] + bc[2]
-            + r * (jnp.dot(h, wt[2], preferred_element_type=f32) + bhn[:]))
+            + r * (jnp.dot(hm, wt[2], preferred_element_type=f32) + bhn[:]))
         h = (1.0 - z) * n + z * h
         o_ref[k] = h.astype(o_ref.dtype)
     h_ref[:] = h
@@ -170,6 +175,11 @@ def _bwd_kernel(x_ref, hs, hs_nbr, dhs, wp, wt, bc, bhn,
         dbhn_ref[:] = jnp.zeros_like(dbhn_ref)
 
     f32 = jnp.float32
+    mmt = x_ref.dtype  # matmul operand dtype: native (bf16 in production —
+    #                    upcasting would force ~4x-slower f32 MXU matmuls
+    #                    and desync the recomputed gates from the forward's,
+    #                    which multiplies in bf16 too); accumulation stays
+    #                    f32 via preferred_element_type
     xb = x_ref[:]
     k_, n_, i_ = xb.shape
     # padded batch rows must not poison the in-kernel dW/db reductions —
@@ -178,11 +188,10 @@ def _bwd_kernel(x_ref, hs, hs_nbr, dhs, wp, wt, bc, bhn,
     # memory: a NaN there survives any ``· 0``)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n_, 1), 0) + bb * nblk
     ok = rows < n_rows                                     # [nblk, 1] bool
-    valid = ok.astype(f32)
-    xf = jnp.where(ok[None], xb.astype(f32), 0.0).reshape(k_ * n_, i_)
-    gr = jnp.dot(xf, wp[0].astype(f32), preferred_element_type=f32).reshape(k_, n_, -1)
-    gz = jnp.dot(xf, wp[1].astype(f32), preferred_element_type=f32).reshape(k_, n_, -1)
-    gn = jnp.dot(xf, wp[2].astype(f32), preferred_element_type=f32).reshape(k_, n_, -1)
+    xf = jnp.where(ok[None], xb, jnp.zeros_like(xb)).reshape(k_ * n_, i_)
+    gr = jnp.dot(xf, wp[0], preferred_element_type=f32).reshape(k_, n_, -1)
+    gz = jnp.dot(xf, wp[1], preferred_element_type=f32).reshape(k_, n_, -1)
+    gn = jnp.dot(xf, wp[2], preferred_element_type=f32).reshape(k_, n_, -1)
 
     # h before this block's earliest-processed step: the neighbor block's
     # edge row, zeroed at the sequence-start block (processed LAST by the
@@ -190,7 +199,7 @@ def _bwd_kernel(x_ref, hs, hs_nbr, dhs, wp, wt, bc, bhn,
     start = tt == nt - 1
     edge = hs_nbr[0 if reverse else kt - 1]
     h_edge = jnp.where(jnp.logical_and(ok, jnp.logical_not(start)),
-                       edge.astype(f32), 0.0)
+                       edge, jnp.zeros_like(edge))
 
     dh = dh_ref[:]
     das, dzs, dns, dghns, hprevs = [], [], [], [], []
@@ -198,7 +207,9 @@ def _bwd_kernel(x_ref, hs, hs_nbr, dhs, wp, wt, bc, bhn,
     order = range(kt) if reverse else reversed(range(kt))
     for k in order:
         later = (k + 1) if reverse else (k - 1)  # processing-previous step
-        h_prev = (jnp.where(ok, hs[later].astype(f32), 0.0)
+        # native dtype: hs stores the forward's post-cast h, so bf16 dots
+        # here recompute the forward's gates BIT-identically
+        h_prev = (jnp.where(ok, hs[later], jnp.zeros_like(hs[later]))
                   if 0 <= later < kt else h_edge)
         r = jax.nn.sigmoid(
             gr[k] + bc[0] + jnp.dot(h_prev, wt[0], preferred_element_type=f32))
@@ -207,6 +218,7 @@ def _bwd_kernel(x_ref, hs, hs_nbr, dhs, wp, wt, bc, bhn,
         gh_n = jnp.dot(h_prev, wt[2], preferred_element_type=f32) + bhn[:]
         n = jnp.tanh(gn[k] + bc[2] + r * gh_n)
 
+        h_prev = h_prev.astype(f32)
         dh_total = jnp.where(ok, dhs[k].astype(f32), 0.0) + dh
         dz = dh_total * (h_prev - n)
         dn = dh_total * (1.0 - z)
@@ -218,12 +230,16 @@ def _bwd_kernel(x_ref, hs, hs_nbr, dhs, wp, wt, bc, bhn,
 
         ct = (((1,), (1,)), ((), ()))  # grad @ W (W is already W^T)
         dh = (dh_total * z
-              + jax.lax.dot_general(da_r, wt[0], ct, preferred_element_type=f32)
-              + jax.lax.dot_general(da_z, wt[1], ct, preferred_element_type=f32)
-              + jax.lax.dot_general(dghn, wt[2], ct, preferred_element_type=f32))
+              + jax.lax.dot_general(da_r.astype(mmt), wt[0], ct,
+                                    preferred_element_type=f32)
+              + jax.lax.dot_general(da_z.astype(mmt), wt[1], ct,
+                                    preferred_element_type=f32)
+              + jax.lax.dot_general(dghn.astype(mmt), wt[2], ct,
+                                    preferred_element_type=f32))
 
-        das.append(da_r); dzs.append(da_z); dns.append(da_n)
-        dghns.append(dghn); hprevs.append(h_prev)
+        das.append(da_r.astype(mmt)); dzs.append(da_z.astype(mmt))
+        dns.append(da_n.astype(mmt)); dghns.append(dghn.astype(mmt))
+        hprevs.append(h_prev.astype(mmt))
     dh_ref[:] = dh
 
     if reverse:  # stacks below want storage order (k ascending)
@@ -241,19 +257,19 @@ def _bwd_kernel(x_ref, hs, hs_nbr, dhs, wp, wt, bc, bhn,
     dx_ref[:] = dx.reshape(k_, n_, i_).astype(dx_ref.dtype)
 
     # weight/bias gradients accumulate across the whole grid (revisited
-    # constant-index output blocks stay VMEM-resident between steps)
+    # constant-index output blocks stay VMEM-resident between steps; the
+    # accumulators are f32 regardless of operand dtype)
     ct_red = (((0,), (0,)), ((), ()))  # contract the kt·nblk rows
-    xr = xf.astype(f32) * jnp.tile(valid, (k_, 1))
-    dwp_ref[0] += jax.lax.dot_general(xr, da_r, ct_red, preferred_element_type=f32)
-    dwp_ref[1] += jax.lax.dot_general(xr, da_z, ct_red, preferred_element_type=f32)
-    dwp_ref[2] += jax.lax.dot_general(xr, da_n, ct_red, preferred_element_type=f32)
+    dwp_ref[0] += jax.lax.dot_general(xf, da_r, ct_red, preferred_element_type=f32)
+    dwp_ref[1] += jax.lax.dot_general(xf, da_z, ct_red, preferred_element_type=f32)
+    dwp_ref[2] += jax.lax.dot_general(xf, da_n, ct_red, preferred_element_type=f32)
     dwt_ref[0] += jax.lax.dot_general(h_prev, da_r, ct_red, preferred_element_type=f32)
     dwt_ref[1] += jax.lax.dot_general(h_prev, da_z, ct_red, preferred_element_type=f32)
     dwt_ref[2] += jax.lax.dot_general(h_prev, dghn, ct_red, preferred_element_type=f32)
-    dbc_ref[0] += jnp.sum(da_r, axis=0)
-    dbc_ref[1] += jnp.sum(da_z, axis=0)
-    dbc_ref[2] += jnp.sum(da_n, axis=0)
-    dbhn_ref[:] += jnp.sum(dghn, axis=0)
+    dbc_ref[0] += jnp.sum(da_r.astype(f32), axis=0)
+    dbc_ref[1] += jnp.sum(da_z.astype(f32), axis=0)
+    dbc_ref[2] += jnp.sum(da_n.astype(f32), axis=0)
+    dbhn_ref[:] += jnp.sum(dghn.astype(f32), axis=0)
 
 
 def _bwd_impl(x, hs, dhs, wp, wt, bc, bhn, *, reverse: bool, interpret: bool):

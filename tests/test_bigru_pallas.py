@@ -115,3 +115,29 @@ def test_bigru_level_odd_batch_and_bf16():
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(hs16, 0, 1).astype(jnp.float32)),
         np.asarray(out_ref), rtol=0.08, atol=0.08)
+
+
+def test_bigru_bf16_grads_track_f32():
+    """The bf16 path's backward runs every block matmul in bf16 (native
+    dtype); its gradients must still point the same way as the f32
+    oracle's — cosine > 0.995 and matching norms per leaf."""
+    rng = np.random.default_rng(4)
+    B, T, I, H = 4, 6, 5, 8
+    params = init_bigru(jax.random.PRNGKey(3), I, H)
+    x = jnp.asarray(rng.standard_normal((B, T, I)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((B, T, 2 * H)), jnp.float32)
+    cast = lambda t: jax.tree.map(lambda a: a.astype(jnp.bfloat16), t)
+
+    def loss(p, x):
+        hs = bigru_level_tmajor(p, jnp.swapaxes(x, 0, 1), interpret=True)
+        return jnp.sum(jnp.sin(jnp.swapaxes(hs, 0, 1).astype(jnp.float32))
+                       * tgt)
+
+    g32 = jax.grad(loss)(params, x)
+    g16 = jax.grad(loss)(cast(params), x.astype(jnp.bfloat16))
+    for a, b in zip(jax.tree.leaves(g32), jax.tree.leaves(g16)):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+        assert cos > 0.995, cos
+        assert 0.8 < np.linalg.norm(b) / (np.linalg.norm(a) + 1e-30) < 1.25

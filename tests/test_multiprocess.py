@@ -85,5 +85,10 @@ def test_two_process_fit_matches_single_process():
     np.testing.assert_allclose(curves[0], curves[1], rtol=0, atol=0)
 
     single = _single_process_curve()
-    np.testing.assert_allclose(np.asarray(curves[0]), np.asarray(single),
-                               rtol=1e-4, atol=1e-5)
+    # column 0 (continuous valid metric): tight.  column 1 (binary accuracy
+    # over the 16-sample synthetic test set): a random-init model predicts
+    # near zero, so the ~1e-7 two-process reduction-order noise can flip a
+    # borderline sample's sign — allow up to two flips (2/16)
+    got, want = np.asarray(curves[0]), np.asarray(single)
+    np.testing.assert_allclose(got[:, 0], want[:, 0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got[:, 1], want[:, 1], atol=2 / 16 + 1e-9)

@@ -87,9 +87,12 @@ def test_dp_mp_sharded_train_step_equals_unsharded(setup):
                       labels_sh)
 
     np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    # atol covers sharded-vs-unsharded reduction-order noise (~1e-7 on the
+    # gradients), which adam's rsqrt normalization amplifies into the
+    # parameter update for near-zero second moments
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-5, atol=1e-7)
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_cfg_axis_sharded_eval_equals_unsharded(setup):
