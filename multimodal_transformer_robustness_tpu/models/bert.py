@@ -82,11 +82,11 @@ def init_bert(rng: jax.Array, cfg: BertConfig) -> dict:
 
 def _ln(x, g, b, eps):
     # f32 moments under any compute policy — as f32-ACCUMULATING reductions
-    # over x itself (dtype=f32), not reductions over a materialized f32
-    # copy: the [B, L, H] f32 temporary was a measured ~0.9 ms/layer of
-    # HBM traffic per train step at B=1024 (profile_step, 2026-08-17).
-    # E[x^2]-mu^2 keeps it one fused read; activations are O(1) here so the
-    # cancellation error is ~1e-7 relative.
+    # over x itself, not reductions over a materialized f32 copy of the
+    # whole [B, L, H] activation.  E[x^2]-mu^2 keeps it one fused read;
+    # activations are O(1) here so the cancellation error is ~1e-7 relative.
+    # (End-to-end step time is neutral within tunnel noise — XLA fused the
+    # old form too; this form just never names the f32 temporary.)
     mu = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
     ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
     var = jnp.maximum(ms - jnp.square(mu), 0.0)
@@ -115,10 +115,13 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
 
     def layer(x, lp):
         def proj(w, bb):
-            # stay in [B, L, heads, dh] — the einsums below contract with
-            # (b, h) as dot batch dims directly; materializing the bhqd
-            # transpose cost a measured ~0.9 ms/layer of HBM traffic per
-            # train step at B=1024 (profile_step, 2026-08-17)
+            # stay in [B, L, heads, dh]; the einsums contract with (b, h) as
+            # dot batch dims.  NOTE: an in-process A/B of this layout vs the
+            # explicit-transpose bhqd layout vs an o-proj-fused variant
+            # (benchmarks/bert_variants_bench.py, on-chip 2026-08-17) timed
+            # all three IDENTICAL to <0.3% — XLA canonicalizes the layouts;
+            # profiler per-op attribution of the relayout copies is not
+            # causal.  Kept for readability, not speed.
             return (x @ w.T + bb).reshape(b, L, n_heads, dh)
 
         q = proj(lp["q_w"], lp["q_b"])
