@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 
 def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
          compute_dtype="bfloat16", cached_text=False, emit_json=True,
-         prng="rbg", repeats=1):
+         prng="rbg", repeats=1, bert_int8=False):
     """One measured train-throughput config.  Defaults = the headline:
     throughput-optimal batch (1024, measured sweep in BENCH_NOTES.md) with
     the bf16 compute policy (params f32, compute bf16 —
@@ -68,6 +68,11 @@ def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
     spec = dataclasses.replace(_mosei_spec(), compute_dtype=compute_dtype)
     bert_cfg = BertConfig(num_layers=bert_layers)
     params, frozen = init_supernet(jax.random.PRNGKey(0), spec, bert_cfg=bert_cfg)
+    if bert_int8 and "bert" in frozen:
+        from multimodal_transformer_robustness_tpu.models.bert import (
+            quantize_bert_params)
+
+        frozen = dict(frozen, bert=quantize_bert_params(frozen["bert"]))
 
     B, T, L = batch_size, 50, 32
     rng = np.random.default_rng(0)
@@ -204,8 +209,12 @@ if __name__ == "__main__":
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--cached_text", action="store_true")
+    ap.add_argument("--bert_int8", action="store_true",
+                    help="int8-quantize the frozen BERT matmuls (additive "
+                         "TPU feature; see models/bert.quantize_bert_params)")
     ap.add_argument("--prng", default="rbg",
                     choices=["threefry2x32", "rbg", "unsafe_rbg"])
     a = ap.parse_args()
     main(batch_size=a.batch, steps=a.steps, bert_layers=a.bert_layers,
-         compute_dtype=a.dtype, cached_text=a.cached_text, prng=a.prng)
+         compute_dtype=a.dtype, cached_text=a.cached_text, prng=a.prng,
+         bert_int8=a.bert_int8)

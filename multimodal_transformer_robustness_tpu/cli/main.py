@@ -91,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "params, bf16 compute; f32 softmax/LN moments). "
                         "Measured ~1.3-1.4x train throughput at large batch; "
                         "tolerance story in tests/test_bf16_policy.py")
+    p.add_argument("--bert_int8", action="store_true",
+                   help="int8-quantize the frozen BERT's projection/FFN "
+                        "matmuls (per-out-channel weights, dynamic per-token "
+                        "activations; 2x MXU rate on v5e). Additive TPU "
+                        "feature, no reference counterpart; feature-error "
+                        "bounds in tests/test_bert_int8.py. Ignored with "
+                        "--cache_text (BERT runs once either way)")
     p.add_argument("--cache_text", action="store_true",
                    help="precompute frozen-BERT text features once per "
                         "dataset and train/eval on them (exact: BERT is "
@@ -238,6 +245,11 @@ def main(argv=None):
                 spec, load_reference_pickle(args.pretrain))
         else:
             params, _ = load_checkpoint(args.pretrain)
+
+    if args.bert_int8 and not args.cache_text and "bert" in frozen:
+        from ..models.bert import quantize_bert_params
+
+        frozen = dict(frozen, bert=quantize_bert_params(frozen["bert"]))
 
     zero_rows = None
     if args.cache_text and "bert" in frozen:

@@ -113,7 +113,7 @@ class StreamingPredictor:
     """Owns the jitted bucketed forward; reusable across clips."""
 
     def __init__(self, model_path=None, bert_dir=None, seed=0,
-                 attn_impl: str = "xla"):
+                 attn_impl: str = "xla", bert_int8: bool = False):
         import jax
 
         from ..utils import enable_compilation_cache
@@ -137,6 +137,14 @@ class StreamingPredictor:
             jax.random.PRNGKey(seed), self.spec, bert_cfg=bert_cfg,
             bert_dir=bert_dir)
         self.bert_cfg = bert_cfg
+        if bert_int8 and "bert" in self.frozen:
+            # serving-path weight quantization of the frozen extractor
+            # (models/bert.quantize_bert_params; 2x MXU rate on v5e,
+            # feature-error bounds in tests/test_bert_int8.py)
+            from ..models.bert import quantize_bert_params
+
+            self.frozen = dict(self.frozen,
+                               bert=quantize_bert_params(self.frozen["bert"]))
         if model_path:
             from ..checkpoint import (import_torch_state_dict, load_checkpoint,
                                       load_reference_pickle)
@@ -190,6 +198,9 @@ def main(argv=None):
     p.add_argument("--repeat", type=int, default=1,
                    help="re-run the clip to show warm-path latency")
     p.add_argument("--attn_impl", choices=["xla", "flash"], default="xla")
+    p.add_argument("--bert_int8", action="store_true",
+                   help="int8-quantize the frozen BERT (serving-path "
+                        "weight quantization; tests/test_bert_int8.py)")
     args = p.parse_args(argv)
 
     if args.features == "torch":
@@ -201,7 +212,8 @@ def main(argv=None):
         face_fn, audio_fn = synthetic_extractors()
 
     predictor = StreamingPredictor(args.model_path, args.bert_dir,
-                                   attn_impl=args.attn_impl)
+                                   attn_impl=args.attn_impl,
+                                   bert_int8=args.bert_int8)
 
     for it in range(args.repeat):
         t0 = time.time()

@@ -80,6 +80,51 @@ def init_bert(rng: jax.Array, cfg: BertConfig) -> dict:
     return params
 
 
+def quantize_bert_params(params: dict) -> dict:
+    """Symmetric per-out-channel int8 quantization of the six projection /
+    FFN weight matrices per layer (q/k/v/o/fc1/fc2).  Everything else —
+    embeddings, LayerNorms, biases, the attention dots themselves — keeps
+    its float dtype.
+
+    This is an ADDITIVE TPU-native capability with no reference counterpart
+    (the reference runs its frozen BERT in f32, dynamic_models2.py:42-55):
+    the v5e MXU's int8 rate is 2x its bf16 rate, and the frozen BERT block
+    dominates the online train step, so a quantized frozen *extractor* (the
+    trunk still trains in the spec's compute dtype) trades a measured,
+    bounded feature error (tests/test_bert_int8.py) for step throughput.
+    Opt-in via ``--bert_int8`` (cli.main / bench.py).
+
+    Each weight ``w [out, in]`` (stacked ``[L, out, in]``) becomes
+    ``{"q": int8, "s": f32 [.., out]}`` with ``w ≈ s[..., None] * q``;
+    :func:`bert_apply` dispatches on the dict structure."""
+    def qw(w):
+        s = jnp.max(jnp.abs(w), axis=-1) / 127.0          # [..., out]
+        s = jnp.maximum(s, 1e-12)
+        q = jnp.clip(jnp.round(w / s[..., None]), -127, 127).astype(jnp.int8)
+        return {"q": q, "s": s.astype(jnp.float32)}
+
+    layers = dict(params["layers"])
+    for name in ("q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w"):
+        layers[name] = qw(jnp.asarray(layers[name], jnp.float32))
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def _qproj(x, wq: dict, bias):
+    """``x @ w.T + bias`` with int8 weights and dynamic per-row (per-token)
+    int8 activations; int32 MXU accumulation, f32 dequant epilogue.
+    ``x [..., in]`` float -> [..., out] in x.dtype."""
+    rows = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(rows), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(rows / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, wq["q"], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    sw = wq["s"].astype(jnp.float32)
+    out = acc.astype(jnp.float32) * sx * sw[None, :] + bias.astype(jnp.float32)
+    return out.reshape(*x.shape[:-1], -1).astype(x.dtype)
+
+
 def _ln(x, g, b, eps):
     # f32 moments under any compute policy — as f32-ACCUMULATING reductions
     # over x itself, not reductions over a materialized f32 copy of the
@@ -114,6 +159,13 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
     dh = h // n_heads
 
     def layer(x, lp):
+        def lin(x_, w, bb):
+            # ``x @ w.T + b``; int8 path when the weight is a quantized
+            # {"q", "s"} dict (quantize_bert_params)
+            if isinstance(w, dict):
+                return _qproj(x_, w, bb)
+            return x_ @ w.T + bb
+
         def proj(w, bb):
             # stay in [B, L, heads, dh]; the einsums contract with (b, h) as
             # dot batch dims.  NOTE: an in-process A/B of this layout vs the
@@ -122,7 +174,7 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
             # all three IDENTICAL to <0.3% — XLA canonicalizes the layouts;
             # profiler per-op attribution of the relayout copies is not
             # causal.  Kept for readability, not speed.
-            return (x @ w.T + bb).reshape(b, L, n_heads, dh)
+            return lin(x, w, bb).reshape(b, L, n_heads, dh)
 
         q = proj(lp["q_w"], lp["q_b"])
         k = proj(lp["k_w"], lp["k_b"])
@@ -134,9 +186,9 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
         #                                     cast back (keeps the scan carry
         #                                     dtype stable under bf16 policy)
         attn = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, L, h)
-        x = _ln(x + (attn @ lp["o_w"].T + lp["o_b"]), lp["ln1_g"], lp["ln1_b"], eps)
-        ff = jax.nn.gelu(x @ lp["fc1_w"].T + lp["fc1_b"], approximate=False)
-        x = _ln(x + (ff @ lp["fc2_w"].T + lp["fc2_b"]), lp["ln2_g"], lp["ln2_b"], eps)
+        x = _ln(x + lin(attn, lp["o_w"], lp["o_b"]), lp["ln1_g"], lp["ln1_b"], eps)
+        ff = jax.nn.gelu(lin(x, lp["fc1_w"], lp["fc1_b"]), approximate=False)
+        x = _ln(x + lin(ff, lp["fc2_w"], lp["fc2_b"]), lp["ln2_g"], lp["ln2_b"], eps)
         return x, None
 
     x, _ = jax.lax.scan(layer, x, params["layers"])
