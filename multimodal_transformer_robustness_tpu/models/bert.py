@@ -111,18 +111,32 @@ def quantize_bert_params(params: dict) -> dict:
     return out
 
 
-def _qproj(x, wq: dict, bias):
-    """``x @ w.T + bias`` with int8 weights and dynamic per-row (per-token)
-    int8 activations; int32 MXU accumulation, f32 dequant epilogue.
-    ``x [..., in]`` float -> [..., out] in x.dtype."""
+def _qrows(x):
+    """Dynamic per-row (per-token) int8 quantization of ``x [..., in]``.
+    Returns (xq int8 [rows, in], sx f32 [rows, 1]).  Split from the dot so
+    an activation consumed by several projections (the QKV input) is
+    quantized ONCE — the round/cast pass over the activation is the main
+    int8 overhead (profiled ~1.4 ms/layer at B=1024 when run per-dot)."""
     rows = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
     sx = jnp.maximum(jnp.max(jnp.abs(rows), axis=-1, keepdims=True), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(rows / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _qdot(xq, sx, wq: dict, bias, out_shape, out_dtype):
+    """int8 x int8 -> int32 MXU dot with f32 dequant epilogue."""
     acc = jax.lax.dot_general(xq, wq["q"], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32)
     sw = wq["s"].astype(jnp.float32)
     out = acc.astype(jnp.float32) * sx * sw[None, :] + bias.astype(jnp.float32)
-    return out.reshape(*x.shape[:-1], -1).astype(x.dtype)
+    return out.reshape(*out_shape, -1).astype(out_dtype)
+
+
+def _qproj(x, wq: dict, bias):
+    """``x @ w.T + bias`` with int8 weights and dynamic per-token int8
+    activations (see _qrows/_qdot)."""
+    xq, sx = _qrows(x)
+    return _qdot(xq, sx, wq, bias, x.shape[:-1], x.dtype)
 
 
 def _ln(x, g, b, eps):
@@ -166,15 +180,24 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
                 return _qproj(x_, w, bb)
             return x_ @ w.T + bb
 
-        def proj(w, bb):
-            # stay in [B, L, heads, dh]; the einsums contract with (b, h) as
-            # dot batch dims.  NOTE: an in-process A/B of this layout vs the
-            # explicit-transpose bhqd layout vs an o-proj-fused variant
-            # (benchmarks/bert_variants_bench.py, on-chip 2026-08-17) timed
-            # all three IDENTICAL to <0.3% — XLA canonicalizes the layouts;
-            # profiler per-op attribution of the relayout copies is not
-            # causal.  Kept for readability, not speed.
-            return lin(x, w, bb).reshape(b, L, n_heads, dh)
+        if isinstance(lp["q_w"], dict):
+            # quantize the shared QKV input ONCE (three dots, one
+            # round/cast pass — see _qrows)
+            xq, sx = _qrows(x)
+
+            def proj(w, bb):
+                return _qdot(xq, sx, w, bb, (b, L), x.dtype
+                             ).reshape(b, L, n_heads, dh)
+        else:
+            def proj(w, bb):
+                # stay in [B, L, heads, dh]; the einsums contract with
+                # (b, h) as dot batch dims.  NOTE: an in-process A/B of this
+                # layout vs the explicit-transpose bhqd layout vs an
+                # o-proj-fused variant (benchmarks/bert_variants_bench.py,
+                # on-chip 2026-08-17) timed all three IDENTICAL to <0.3% —
+                # XLA canonicalizes the layouts; profiler per-op attribution
+                # of the relayout copies is not causal.
+                return (x @ w.T + bb).reshape(b, L, n_heads, dh)
 
         q = proj(lp["q_w"], lp["q_b"])
         k = proj(lp["k_w"], lp["k_b"])
