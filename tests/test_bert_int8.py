@@ -99,3 +99,61 @@ def test_supernet_runs_on_quantized_frozen():
     got = fwd(params, masks, [text, audio], frozen=qfrozen, bert_cfg=bert_cfg)
     assert np.isfinite(np.asarray(got)).all()
     assert _cosine(got, ref) > 0.98, _cosine(got, ref)
+
+
+def test_training_curve_tracks_f32_frozen():
+    """A short SGD run with the int8 frozen extractor stays close to the
+    f32-frozen run: quantization perturbs the (frozen) features slightly but
+    must not change the optimization behavior."""
+    import functools
+    import optax
+
+    from multimodal_transformer_robustness_tpu import (
+        ModelSpec, build_masks, full_active_config)
+    from multimodal_transformer_robustness_tpu.models import (
+        init_supernet, supernet_apply)
+
+    spec = ModelSpec(modality_set=("t", "a"), orig_dimensions=(3, 10),
+                     dimension=8, num_heads=2, head_dim=4,
+                     layers_single_attn=1, layers_cross_attn=1,
+                     layers_self_attn=1, attn_dropout=(0.0, 0.0, 0.0),
+                     relu_dropout=0.0, res_dropout=0.0, out_dropout=0.0,
+                     embed_dropout=0.0, attn_mask=True, output_dim=1)
+    bert_cfg = bert_mod.tiny_bert_config()
+    params0, frozen = init_supernet(jax.random.PRNGKey(0), spec,
+                                    bert_cfg=bert_cfg)
+    qfrozen = dict(frozen, bert=quantize_bert_params(frozen["bert"]))
+
+    rng = np.random.default_rng(3)
+    text = jnp.asarray(np.stack([rng.integers(0, 64, (8, 8)),
+                                 np.ones((8, 8), np.int64),
+                                 np.zeros((8, 8), np.int64)]))
+    audio = jnp.asarray(rng.standard_normal((8, 6, 10)), jnp.float32)
+    labels = jnp.asarray(rng.standard_normal((8, 1)), jnp.float32)
+    masks = build_masks(spec, full_active_config(spec))
+    tx = optax.sgd(1e-2)
+
+    @functools.partial(jax.jit, static_argnames=("bert_cfg",))
+    def step(params, opt_state, frozen, bert_cfg):
+        def loss_fn(p):
+            preds = supernet_apply(spec, p, masks, [text, audio],
+                                   frozen=frozen, bert_cfg=bert_cfg)
+            return jnp.mean(jnp.abs(preds - labels))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def run(fr):
+        params, opt_state = params0, tx.init(params0)
+        losses = []
+        for _ in range(10):
+            params, opt_state, loss = step(params, opt_state, fr, bert_cfg)
+            losses.append(float(loss))
+        return np.asarray(losses)
+
+    ref = run(frozen)
+    got = run(qfrozen)
+    assert np.all(np.isfinite(got))
+    # same trajectory shape: monotone agreement within a small absolute band
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.1)
