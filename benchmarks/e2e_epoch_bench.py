@@ -99,17 +99,18 @@ def main(argv=None):
     print(f"dataset HBM upload: {upload_s:.1f} s (once per run)",
           file=sys.stderr)
 
-    # warm epoch compiles everything (train step + eval step); timed epochs
-    # measure the steady state a 20-epoch reference run lives in
+    # warm fit compiles everything (train step + eval step)
     t0 = time.time()
     trainer.fit(train_loader, valid_loader, test_loader)
     total_s = time.time() - t0
-    # re-run: every program now cached -> pure steady-state epochs
-    hp2 = dataclasses.replace(hp, num_epochs=args.epochs)
-    trainer2 = Trainer(spec, trainer.params, frozen, hp2, bert_cfg=bert_cfg,
-                       zero_fill_rows=zero_rows)
+    # steady state = re-fit on the SAME trainer: its in-process jit caches
+    # are warm, exactly like epochs 3..20 of a 20-epoch run.  (A FRESH
+    # Trainer is NOT steady state: new jit closures retrace everything and
+    # round 3 measured one program missing the persistent compile cache,
+    # ~16 s of backend compile — the round-2 "steady 10.39 s/epoch" number
+    # was dominated by that pollution; true steady epochs are ~8x faster.)
     t0 = time.time()
-    trainer2.fit(train_loader, valid_loader, test_loader)
+    trainer.fit(train_loader, valid_loader, test_loader)
     steady_s = time.time() - t0
 
     per_epoch = steady_s / args.epochs

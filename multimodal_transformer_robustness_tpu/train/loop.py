@@ -546,26 +546,46 @@ class Trainer:
         fill_rows = self.loader_fill_rows(loader) or self._fill_rows
         as_dev = (lambda x: x) if self.mesh is not None else jnp.asarray
         multiproc = self.mesh is not None and jax.process_count() > 1
-        preds_all, truth_all = [], []
+        preds_all, truth_all, valid_all = [], [], []
         for batch in loader:
             inputs = [as_dev(x) for x in batch.inputs]
             preds = self.eval_step(self.params, masks, inputs, flags,
                                    fill_rows)
-            valid, labels = batch.valid, np.asarray(batch.labels)
             if multiproc:
                 # loader slices are process-local; gather the metric inputs
                 # back to every host (preds replicate via an XLA all-gather)
                 from jax.experimental import multihost_utils
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
+                valid, labels = batch.valid, np.asarray(batch.labels)
                 preds = jax.device_put(preds, NamedSharding(self.mesh, P()))
                 valid = multihost_utils.process_allgather(valid, tiled=True)
                 labels = multihost_utils.process_allgather(labels, tiled=True)
-            keep = valid > 0
-            preds_all.append(np.asarray(preds)[keep])
-            truth_all.append(labels[keep])
-        preds = np.concatenate(preds_all)
-        truths = np.concatenate(truth_all)
+                keep = valid > 0
+                preds_all.append(np.asarray(preds)[keep])
+                truth_all.append(labels[keep])
+                continue
+            # single-process: keep preds (and device-resident labels) ON
+            # DEVICE through the loop — dispatches stay async — and read
+            # back ONCE after it.  A per-batch np.asarray(preds) is a
+            # blocking ~35 ms tunnel round-trip; at 5 evals/epoch the
+            # per-batch readbacks were the LARGEST steady-state epoch cost
+            # (cProfile 2026-08-17: 42 readbacks = 1.46 s of a 1.79 s
+            # two-epoch same-trainer fit)
+            preds_all.append(preds)
+            truth_all.append(batch.labels)
+            valid_all.append(batch.valid)
+        if multiproc:
+            preds = np.concatenate(preds_all)
+            truths = np.concatenate(truth_all)
+            return self._metric(preds, truths), preds, truths
+        preds = np.asarray(jnp.concatenate(preds_all))       # ONE readback
+        if isinstance(truth_all[0], jax.Array):
+            truths = np.asarray(jnp.concatenate(truth_all))  # device labels
+        else:
+            truths = np.concatenate([np.asarray(t) for t in truth_all])
+        keep = np.concatenate(valid_all) > 0
+        preds, truths = preds[keep], truths[keep]
         return self._metric(preds, truths), preds, truths
 
     def _metric(self, preds: np.ndarray, truths: np.ndarray) -> float:
@@ -604,13 +624,6 @@ class Trainer:
             ep_start = time.time()
             _, current_masks = self.train_epoch(train_loader, current_masks, epoch)
 
-            val_acc = 0.0
-            if hp.experiment_type == "random_sample":
-                # (M) evals of the SAME full config — replicated shadowing
-                # quirk, train.py:444-460
-                for _ in range(M):
-                    val_acc += self.evaluate(valid_loader, full_masks,
-                                             list(range(M)))[0]
             eval_masks = full_masks
             if hp.experiment_type == "test_single" and hp.modality_pool and \
                     len(hp.modality_pool) > 1:
@@ -627,7 +640,21 @@ class Trainer:
                 current_masks = eval_masks
 
             val1 = self.evaluate(valid_loader, eval_masks, list(range(M)))[0]
-            val_acc = val_acc + val1 if hp.experiment_type == "random_sample" else val1
+            if hp.experiment_type == "random_sample":
+                # the reference's (M+1) duplicate full-config validation
+                # evals (shadowing quirk, train.py:444-460): for
+                # random_sample, eval_masks IS the full config and
+                # evaluate() is deterministic (eval mode, no rng), so the M
+                # extra passes would each return exactly ``val1``.  Sum the
+                # SAME host-float sequence ((..(v+v)+v)+v) the per-pass loop
+                # produced — bit-identical printed metrics, M fewer full
+                # validation passes per epoch.
+                val_acc = 0.0
+                for _ in range(M):
+                    val_acc += val1
+                val_acc = val_acc + val1
+            else:
+                val_acc = val1
             test_acc = self.evaluate(test_loader, eval_masks, list(range(M)))[0]
             self.training_curve.append([val_acc, test_acc])
 
