@@ -118,14 +118,20 @@ class EvolutionSearch:
         M = self.spec.modality_num
         flags = jnp.ones((M,), jnp.float32)
         stacked = tr.prep_sweep_masks(stack_masks(masks))
-        per_batch: List[np.ndarray] = []
+        # on-device accumulation, ONE readback per population eval — a
+        # per-batch np.asarray is a blocking ~35 ms tunnel round-trip (the
+        # evaluate() fix, train/loop.py, applied to EA fitness)
+        per_batch: List[jnp.ndarray] = []
+        keeps: List[np.ndarray] = []
         truths = []
         for inputs, keep, labels in self._device_batches():
             preds = tr.eval_step_sweep(tr.params, stacked, inputs, flags)
-            per_batch.append(np.asarray(preds)[:, keep])
+            per_batch.append(preds)
+            keeps.append(keep)
             truths.append(labels)
         truth = np.concatenate(truths)
-        all_preds = np.concatenate(per_batch, axis=1)
+        all_preds = np.asarray(jnp.concatenate(per_batch, axis=1)
+                               )[:, np.concatenate(keeps)]
         accs = np.zeros((n_real,))
         for k in range(n_real):
             accs[k] = tr._metric(all_preds[k], truth)

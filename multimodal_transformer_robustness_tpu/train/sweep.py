@@ -156,12 +156,15 @@ def missing_modality_sweep(
 
     def eval_single(masks_np, batches):
         dev_masks = jax.tree.map(jnp.asarray, masks_np)
-        preds, labels = [], []
+        preds, keeps, labels = [], [], []
         for inputs, keep, lab in batches:
-            p = trainer.eval_step(trainer.params, dev_masks, inputs, full_flags)
-            preds.append(np.asarray(p)[keep])
+            # on-device accumulation, one readback (see the grid loop below)
+            preds.append(trainer.eval_step(trainer.params, dev_masks, inputs,
+                                           full_flags))
+            keeps.append(keep)
             labels.append(lab)
-        return np.concatenate(preds), np.concatenate(labels)
+        return (np.asarray(jnp.concatenate(preds))[np.concatenate(keeps)],
+                np.concatenate(labels))
 
     for subset in subset_choices(spec, hp.experiment_type):
         if not quiet:
@@ -204,15 +207,22 @@ def missing_modality_sweep(
         # the devices — prep places the grid ONCE for all data batches)
         stacked = trainer.prep_sweep_masks(stack_masks(mask_list))
         accs = np.zeros((n_real,), np.float64)
-        per_batch_preds: List[np.ndarray] = []
+        # keep predictions ON DEVICE through the data loop (async
+        # dispatches) and read back ONCE — a per-batch np.asarray is a
+        # blocking ~35 ms tunnel round-trip (the evaluate() fix,
+        # train/loop.py, applied to the sweep grid)
+        per_batch_preds: List[jnp.ndarray] = []
+        keeps: List[np.ndarray] = []
         truths: List[np.ndarray] = []
         for inputs, keep, labels in device_batches:
             preds = trainer.eval_step_sweep(
                 trainer.params, stacked, inputs, full_flags)  # [n_cfg, B, ...]
-            per_batch_preds.append(np.asarray(preds)[:, keep])
+            per_batch_preds.append(preds)
+            keeps.append(keep)
             truths.append(labels)
         truth = np.concatenate(truths)
-        all_preds = np.concatenate(per_batch_preds, axis=1)  # [n_cfg, N, ...]
+        all_preds = np.asarray(jnp.concatenate(per_batch_preds, axis=1)
+                               )[:, np.concatenate(keeps)]  # [n_cfg, N, ...]
         for k in range(n_real):
             accs[k] = trainer._metric(all_preds[k], truth)
 
