@@ -105,7 +105,7 @@ def main(argv=None):
                 * jnp.float32(1e-30)).astype(jnp.int32)
 
     variants = ["transpose", "bqhd_reshape", "bqhd_fusedo", "prod_castin",
-                "prod_x2"]
+                "prod_x2", "dots_only", "unrolled", "bf16_softmax"]
     fns = {}
     for v in variants[:3]:
         # thread a scalar through ids so iterations have a data dependency
@@ -132,9 +132,107 @@ def main(argv=None):
 
     fns["prod_castin"] = jax.jit(prod_castin)
     fns["prod_x2"] = jax.jit(prod_x2)
+
+    def dots_only(carry, params):
+        """matmuls only — no LN / softmax / bias / residual elementwise.
+        NOT numerically meaningful; the lower bound on layer time if every
+        non-dot op were fused to zero (sizes an eventual fused-layer
+        kernel's payoff)."""
+        b, L = ids.shape
+        h = params["word_emb"].shape[1]
+        n_heads = cfg.num_heads
+        dh = h // n_heads
+        x = params["word_emb"][ids + carry]
+
+        def layer(x, lp):
+            def proj(w):
+                return (x @ w.T).reshape(b, L, n_heads, dh)
+            q, k, v = proj(lp["q_w"]), proj(lp["k_w"]), proj(lp["v_w"])
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", logits.astype(v.dtype), v
+                              ).reshape(b, L, h)
+            x = x + attn @ lp["o_w"].T
+            return x + (x @ lp["fc1_w"].T) @ lp["fc2_w"].T, None
+
+        x, _ = jax.lax.scan(layer, x, params["layers"])
+        return depyce(x)
+
+    fns["dots_only"] = jax.jit(dots_only)
+
+    def unrolled(carry, params):
+        """prod semantics but a python loop over layers instead of lax.scan:
+        weights become separate HLO constants (no dynamic-slice per layer)
+        and XLA may fuse/pipeline across layer boundaries."""
+        b, L = ids.shape
+        h = params["word_emb"].shape[1]
+        dh = h // cfg.num_heads
+        iids = ids + carry
+        x = (params["word_emb"][iids]
+             + params["pos_emb"][jnp.arange(L)][None]
+             + params["type_emb"][types])
+        x = bert_mod._ln(x, params["emb_ln_g"], params["emb_ln_b"], cfg.eps)
+        bias = (1.0 - mask.astype(jnp.float32))[:, None, None, :] * -10000.0
+        n_layers = params["layers"]["q_w"].shape[0]
+        for i in range(n_layers):
+            lp = {k: a[i] for k, a in params["layers"].items()}
+
+            def proj(w, bb):
+                return (x @ w.T + bb).reshape(b, L, cfg.num_heads, dh)
+            q, k, v = (proj(lp[n + "_w"], lp[n + "_b"]) for n in "qkv")
+            logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                 preferred_element_type=jnp.float32)
+                      / math.sqrt(dh) + bias)
+            w_ = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", w_, v).reshape(b, L, h)
+            o = attn @ lp["o_w"].T + lp["o_b"]
+            x2 = bert_mod._ln(x + o, lp["ln1_g"], lp["ln1_b"], cfg.eps)
+            ff = jax.nn.gelu(x2 @ lp["fc1_w"].T + lp["fc1_b"],
+                             approximate=False)
+            x = bert_mod._ln(x2 + (ff @ lp["fc2_w"].T + lp["fc2_b"]),
+                             lp["ln2_g"], lp["ln2_b"], cfg.eps)
+        return depyce(x)
+
+    fns["unrolled"] = jax.jit(unrolled)
+
+    def bf16_softmax(carry, params):
+        """bqhd layout but logits/softmax stay bf16 — prices the f32
+        softmax policy (NOT proposed for production; fidelity data only)."""
+        b, L = ids.shape
+        h = params["word_emb"].shape[1]
+        dh = h // cfg.num_heads
+        x = (params["word_emb"][ids + carry]
+             + params["pos_emb"][jnp.arange(L)][None]
+             + params["type_emb"][types])
+        x = bert_mod._ln(x, params["emb_ln_g"], params["emb_ln_b"], cfg.eps)
+        bias = ((1.0 - mask.astype(jnp.float32))[:, None, None, :]
+                * -10000.0).astype(jnp.bfloat16)
+
+        def layer(x, lp):
+            def proj(w, bb):
+                return (x @ w.T + bb).reshape(b, L, cfg.num_heads, dh)
+            q, k, v = (proj(lp[n + "_w"], lp[n + "_b"]) for n in "qkv")
+            logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k)
+                      / jnp.bfloat16(math.sqrt(dh)) + bias)
+            w_ = jax.nn.softmax(logits, axis=-1)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", w_, v).reshape(b, L, h)
+            o = attn @ lp["o_w"].T + lp["o_b"]
+            x2 = bert_mod._ln(x + o, lp["ln1_g"], lp["ln1_b"], cfg.eps)
+            ff = jax.nn.gelu(x2 @ lp["fc1_w"].T + lp["fc1_b"],
+                             approximate=False)
+            return bert_mod._ln(x2 + (ff @ lp["fc2_w"].T + lp["fc2_b"]),
+                                lp["ln2_g"], lp["ln2_b"], cfg.eps), None
+
+        x, _ = jax.lax.scan(layer, x, params["layers"])
+        return depyce(x)
+
+    fns["bf16_softmax"] = jax.jit(bf16_softmax)
     inp = {v: params for v in variants[:3]}
     inp["prod_castin"] = params_f32
     inp["prod_x2"] = params_f32
+    inp["dots_only"] = params
+    inp["unrolled"] = params
+    inp["bf16_softmax"] = params
     for v in variants:
         fns[v](jnp.int32(0), inp[v]).block_until_ready()  # compile
 
