@@ -105,7 +105,8 @@ def main(argv=None):
                 * jnp.float32(1e-30)).astype(jnp.int32)
 
     variants = ["transpose", "bqhd_reshape", "bqhd_fusedo", "prod_castin",
-                "prod_x2", "dots_only", "unrolled", "bf16_softmax"]
+                "prod_x2", "dots_only", "unrolled", "bf16_softmax",
+                "gelu_tanh"]
     fns = {}
     for v in variants[:3]:
         # thread a scalar through ids so iterations have a data dependency
@@ -227,12 +228,47 @@ def main(argv=None):
         return depyce(x)
 
     fns["bf16_softmax"] = jax.jit(bf16_softmax)
+
+    def gelu_tanh(carry, params):
+        """bqhd layout but tanh-approximate gelu — prices the exact-erf
+        gelu (100M elements/layer on the VPU).  Diagnostic only: production
+        keeps erf (HF BertIntermediate default, fidelity contract)."""
+        b, L = ids.shape
+        h = params["word_emb"].shape[1]
+        dh = h // cfg.num_heads
+        x = (params["word_emb"][ids + carry]
+             + params["pos_emb"][jnp.arange(L)][None]
+             + params["type_emb"][types])
+        x = bert_mod._ln(x, params["emb_ln_g"], params["emb_ln_b"], cfg.eps)
+        bias = (1.0 - mask.astype(jnp.float32))[:, None, None, :] * -10000.0
+
+        def layer(x, lp):
+            def proj(w, bb):
+                return (x @ w.T + bb).reshape(b, L, cfg.num_heads, dh)
+            q, k, v = (proj(lp[n + "_w"], lp[n + "_b"]) for n in "qkv")
+            logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                 preferred_element_type=jnp.float32)
+                      / math.sqrt(dh) + bias)
+            w_ = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", w_, v).reshape(b, L, h)
+            o = attn @ lp["o_w"].T + lp["o_b"]
+            x2 = bert_mod._ln(x + o, lp["ln1_g"], lp["ln1_b"], cfg.eps)
+            ff = jax.nn.gelu(x2 @ lp["fc1_w"].T + lp["fc1_b"],
+                             approximate=True)
+            return bert_mod._ln(x2 + (ff @ lp["fc2_w"].T + lp["fc2_b"]),
+                                lp["ln2_g"], lp["ln2_b"], cfg.eps), None
+
+        x, _ = jax.lax.scan(layer, x, params["layers"])
+        return depyce(x)
+
+    fns["gelu_tanh"] = jax.jit(gelu_tanh)
     inp = {v: params for v in variants[:3]}
     inp["prod_castin"] = params_f32
     inp["prod_x2"] = params_f32
     inp["dots_only"] = params
     inp["unrolled"] = params
     inp["bf16_softmax"] = params
+    inp["gelu_tanh"] = params
     for v in variants:
         fns[v](jnp.int32(0), inp[v]).block_until_ready()  # compile
 
