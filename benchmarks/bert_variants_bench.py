@@ -106,7 +106,7 @@ def main(argv=None):
 
     variants = ["transpose", "bqhd_reshape", "bqhd_fusedo", "prod_castin",
                 "prod_x2", "dots_only", "unrolled", "bf16_softmax",
-                "gelu_tanh"]
+                "gelu_tanh", "fused_qkv"]
     fns = {}
     for v in variants[:3]:
         # thread a scalar through ids so iterations have a data dependency
@@ -262,6 +262,42 @@ def main(argv=None):
         return depyce(x)
 
     fns["gelu_tanh"] = jax.jit(gelu_tanh)
+
+    def fused_qkv(carry, params):
+        """q/k/v as ONE [768 -> 3*768] dot (concat along the output dim is
+        exact — output columns of a dot are independent).  The concat of the
+        frozen weights happens in-step (copies ~3.5 MB/layer, negligible) so
+        the stored param structure / checkpoint names are untouched."""
+        b, L = ids.shape
+        h = params["word_emb"].shape[1]
+        dh = h // cfg.num_heads
+        x = (params["word_emb"][ids + carry]
+             + params["pos_emb"][jnp.arange(L)][None]
+             + params["type_emb"][types])
+        x = bert_mod._ln(x, params["emb_ln_g"], params["emb_ln_b"], cfg.eps)
+        bias = (1.0 - mask.astype(jnp.float32))[:, None, None, :] * -10000.0
+
+        def layer(x, lp):
+            qkv_w = jnp.concatenate([lp["q_w"], lp["k_w"], lp["v_w"]], axis=0)
+            qkv_b = jnp.concatenate([lp["q_b"], lp["k_b"], lp["v_b"]])
+            qkv = (x @ qkv_w.T + qkv_b).reshape(b, L, 3, cfg.num_heads, dh)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                 preferred_element_type=jnp.float32)
+                      / math.sqrt(dh) + bias)
+            w_ = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", w_, v).reshape(b, L, h)
+            o = attn @ lp["o_w"].T + lp["o_b"]
+            x2 = bert_mod._ln(x + o, lp["ln1_g"], lp["ln1_b"], cfg.eps)
+            ff = jax.nn.gelu(x2 @ lp["fc1_w"].T + lp["fc1_b"],
+                             approximate=False)
+            return bert_mod._ln(x2 + (ff @ lp["fc2_w"].T + lp["fc2_b"]),
+                                lp["ln2_g"], lp["ln2_b"], cfg.eps), None
+
+        x, _ = jax.lax.scan(layer, x, params["layers"])
+        return depyce(x)
+
+    fns["fused_qkv"] = jax.jit(fused_qkv)
     inp = {v: params for v in variants[:3]}
     inp["prod_castin"] = params_f32
     inp["prod_x2"] = params_f32
@@ -269,6 +305,7 @@ def main(argv=None):
     inp["unrolled"] = params
     inp["bf16_softmax"] = params
     inp["gelu_tanh"] = params
+    inp["fused_qkv"] = params
     for v in variants:
         fns[v](jnp.int32(0), inp[v]).block_until_ready()  # compile
 
