@@ -106,7 +106,7 @@ def main(argv=None):
 
     variants = ["transpose", "bqhd_reshape", "bqhd_fusedo", "prod_castin",
                 "prod_x2", "dots_only", "unrolled", "bf16_softmax",
-                "gelu_tanh", "fused_qkv"]
+                "gelu_tanh", "fused_qkv", "pallas_ffn"]
     fns = {}
     for v in variants[:3]:
         # thread a scalar through ids so iterations have a data dependency
@@ -298,6 +298,19 @@ def main(argv=None):
         return depyce(x)
 
     fns["fused_qkv"] = jax.jit(fused_qkv)
+
+    def pallas_ffn(carry, params):
+        """the production bert_apply with the fused Pallas FFN kernel
+        (ops/bert_ffn_pallas.py) — measures the kernel candidate end to end."""
+        old = bert_mod.FFN_IMPL
+        bert_mod.FFN_IMPL = "pallas"
+        try:
+            out = bert_mod.bert_apply(params, ids + carry, mask, types, cfg)
+        finally:
+            bert_mod.FFN_IMPL = old
+        return depyce(out)
+
+    fns["pallas_ffn"] = jax.jit(pallas_ffn)
     inp = {v: params for v in variants[:3]}
     inp["prod_castin"] = params_f32
     inp["prod_x2"] = params_f32
@@ -306,6 +319,7 @@ def main(argv=None):
     inp["bf16_softmax"] = params
     inp["gelu_tanh"] = params
     inp["fused_qkv"] = params
+    inp["pallas_ffn"] = params
     for v in variants:
         fns[v](jnp.int32(0), inp[v]).block_until_ready()  # compile
 
