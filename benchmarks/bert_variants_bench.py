@@ -106,7 +106,8 @@ def main(argv=None):
 
     variants = ["transpose", "bqhd_reshape", "bqhd_fusedo", "prod_castin",
                 "prod_x2", "dots_only", "unrolled", "bf16_softmax",
-                "gelu_tanh", "fused_qkv", "pallas_ffn"]
+                "gelu_tanh", "fused_qkv", "pallas_ffn", "prod_int8",
+                "pallas_ffn_int8"]
     fns = {}
     for v in variants[:3]:
         # thread a scalar through ids so iterations have a data dependency
@@ -311,6 +312,28 @@ def main(argv=None):
         return depyce(out)
 
     fns["pallas_ffn"] = jax.jit(pallas_ffn)
+
+    params_q = bert_mod.quantize_bert_params(params_f32)
+
+    def prod_int8(carry, params):
+        """the production --bert_int8 XLA path (quantized weights, dynamic
+        per-token int8 activations) — in-process baseline for the int8
+        kernel variant"""
+        return depyce(bert_mod.bert_apply(params, ids + carry, mask, types,
+                                          cfg))
+
+    def pallas_ffn_int8(carry, params):
+        """--bert_int8 with the fused int8 FFN kernel (ffn_ln_block_q)"""
+        old = bert_mod.FFN_IMPL
+        bert_mod.FFN_IMPL = "pallas"
+        try:
+            out = bert_mod.bert_apply(params, ids + carry, mask, types, cfg)
+        finally:
+            bert_mod.FFN_IMPL = old
+        return depyce(out)
+
+    fns["prod_int8"] = jax.jit(prod_int8)
+    fns["pallas_ffn_int8"] = jax.jit(pallas_ffn_int8)
     inp = {v: params for v in variants[:3]}
     inp["prod_castin"] = params_f32
     inp["prod_x2"] = params_f32
@@ -320,6 +343,8 @@ def main(argv=None):
     inp["gelu_tanh"] = params
     inp["fused_qkv"] = params
     inp["pallas_ffn"] = params
+    inp["prod_int8"] = params_q
+    inp["pallas_ffn_int8"] = params_q
     for v in variants:
         fns[v](jnp.int32(0), inp[v]).block_until_ready()  # compile
 

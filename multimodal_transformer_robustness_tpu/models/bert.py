@@ -40,7 +40,7 @@ FFN_INTERPRET = False  # tests: run the kernel in interpret mode on CPU
 
 
 def _ffn_resolved_impl(h: int, ffn: int, quantized: bool) -> str:
-    if quantized or h % 128 or ffn % 128:
+    if h % 128 or ffn % 128:
         return "xla"
     if FFN_IMPL == "auto":
         return ("pallas" if jax.default_backend() == "tpu" or FFN_INTERPRET
@@ -228,14 +228,15 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
         #                                     dtype stable under bf16 policy)
         attn = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, L, h)
         x = _ln(x + lin(attn, lp["o_w"], lp["o_b"]), lp["ln1_g"], lp["ln1_b"], eps)
-        if _ffn_resolved_impl(h, lp["fc1_b"].shape[-1],
-                              isinstance(lp["fc1_w"], dict)) == "pallas":
+        quantized = isinstance(lp["fc1_w"], dict)
+        if _ffn_resolved_impl(h, lp["fc1_b"].shape[-1], quantized) == "pallas":
             # fused fc1 -> gelu -> fc2 -> residual -> LN, one VMEM pass
             # (ops/bert_ffn_pallas.py; forward-only — this BERT is frozen)
-            from ..ops.bert_ffn_pallas import ffn_ln_block
-            x = ffn_ln_block(x, lp["fc1_w"], lp["fc1_b"], lp["fc2_w"],
-                             lp["fc2_b"], lp["ln2_g"], lp["ln2_b"], eps=eps,
-                             interpret=FFN_INTERPRET)
+            from ..ops.bert_ffn_pallas import ffn_ln_block, ffn_ln_block_q
+            fused = ffn_ln_block_q if quantized else ffn_ln_block
+            x = fused(x, lp["fc1_w"], lp["fc1_b"], lp["fc2_w"],
+                      lp["fc2_b"], lp["ln2_g"], lp["ln2_b"], eps=eps,
+                      interpret=FFN_INTERPRET)
         else:
             ff = jax.nn.gelu(lin(x, lp["fc1_w"], lp["fc1_b"]), approximate=False)
             x = _ln(x + lin(ff, lp["fc2_w"], lp["fc2_b"]), lp["ln2_g"], lp["ln2_b"], eps)

@@ -61,6 +61,92 @@ def _ffn_ln_kernel(x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, g_ref, bb_ref,
     o_ref[...] = out.astype(x.dtype)
 
 
+def _qround(xf, eps=1e-8):
+    """models/bert._qrows semantics: per-row symmetric int8 with f32 scale."""
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), eps) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _ffn_ln_kernel_q(x_ref, w1qt_ref, w1s_ref, b1_ref, w2qt_ref, w2s_ref,
+                     b2_ref, g_ref, bb_ref, o_ref, *, eps: float):
+    """int8 weights + dynamic per-row int8 activations (the --bert_int8
+    path, models/bert._qrows/_qdot) with the same fused epilogue as the
+    float kernel: int32 MXU accumulation, f32 dequant, gelu/residual/LN all
+    VMEM-resident."""
+    x = x_ref[...]
+    xq, sx = _qround(x.astype(jnp.float32))
+    acc = jnp.dot(xq, w1qt_ref[...], preferred_element_type=jnp.int32)
+    h1 = (acc.astype(jnp.float32) * sx * w1s_ref[...]
+          + b1_ref[...].astype(jnp.float32)).astype(x.dtype)
+    g1 = jax.nn.gelu(h1, approximate=False)
+    gq, sg = _qround(g1.astype(jnp.float32))
+    acc2 = jnp.dot(gq, w2qt_ref[...], preferred_element_type=jnp.int32)
+    y = (acc2.astype(jnp.float32) * sg * w2s_ref[...]
+         + b2_ref[...].astype(jnp.float32)).astype(x.dtype)
+    s = x + y
+    mu = jnp.mean(s.astype(jnp.float32), axis=-1, keepdims=True)
+    ms = jnp.mean(jnp.square(s.astype(jnp.float32)), axis=-1, keepdims=True)
+    var = jnp.maximum(ms - jnp.square(mu), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    out = ((s.astype(jnp.float32) - mu) * inv) * g_ref[...] + bb_ref[...]
+    o_ref[...] = out.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_rows", "interpret"))
+def ffn_ln_block_q(x: jnp.ndarray, w1: dict, b1: jnp.ndarray,
+                   w2: dict, b2: jnp.ndarray, ln_g: jnp.ndarray,
+                   ln_b: jnp.ndarray, *, eps: float,
+                   block_rows: int = 128, interpret: bool = False):
+    """Quantized-weight variant of :func:`ffn_ln_block` — ``w1``/``w2`` are
+    ``{"q": int8 [out, in], "s": f32 [out]}`` dicts from
+    models/bert.quantize_bert_params.  Matches the unfused
+    ``_ln(x + _qproj(gelu(_qproj(x, w1, b1)), w2, b2))`` composition."""
+    orig_shape = x.shape
+    h = x.shape[-1]
+    ffn = w1["q"].shape[0]
+    rows = 1
+    for d in orig_shape[:-1]:
+        rows *= d
+    x2 = x.reshape(rows, h)
+    n_pad = _cdiv(rows, block_rows) * block_rows - rows
+    if n_pad:
+        x2 = jnp.pad(x2, ((0, n_pad), (0, 0)))
+
+    w1qt = w1["q"].T          # [h, ffn] int8
+    w2qt = w2["q"].T          # [ffn, h] int8
+
+    grid = (x2.shape[0] // block_rows,)
+    out = pl.pallas_call(
+        functools.partial(_ffn_ln_kernel_q, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
+            pl.BlockSpec((h, ffn), lambda i: (0, 0)),
+            pl.BlockSpec((1, ffn), lambda i: (0, 0)),
+            pl.BlockSpec((1, ffn), lambda i: (0, 0)),
+            pl.BlockSpec((ffn, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((x2.shape[0], h), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x2, w1qt, w1["s"].reshape(1, ffn).astype(jnp.float32),
+      b1.reshape(1, ffn).astype(jnp.float32),
+      w2qt, w2["s"].reshape(1, h).astype(jnp.float32),
+      b2.reshape(1, h).astype(jnp.float32),
+      ln_g.reshape(1, h).astype(jnp.float32),
+      ln_b.reshape(1, h).astype(jnp.float32))
+    if n_pad:
+        out = out[:rows]
+    return out.reshape(orig_shape)
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "block_rows", "interpret"))
 def ffn_ln_block(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
                  w2: jnp.ndarray, b2: jnp.ndarray, ln_g: jnp.ndarray,

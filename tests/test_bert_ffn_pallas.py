@@ -79,4 +79,50 @@ def test_unaligned_dims_fall_back_to_xla():
     # h=16 (tiny test config) must resolve to the XLA path even when the
     # module flag asks for pallas
     assert bert_mod._ffn_resolved_impl(16, 64, False) == "xla"
-    assert bert_mod._ffn_resolved_impl(768, 3072, True) == "xla"   # int8
+    assert bert_mod._ffn_resolved_impl(768, 100, False) == "xla"
+
+
+def test_int8_kernel_matches_unfused_qproj():
+    from multimodal_transformer_robustness_tpu.models.bert import _qproj, quantize_bert_params
+    from multimodal_transformer_robustness_tpu.ops.bert_ffn_pallas import ffn_ln_block_q
+
+    rng = np.random.default_rng(3)
+    rows, h, ffn = 100, 128, 256   # rows % block_rows != 0 (padding path)
+    x = jnp.asarray(rng.normal(size=(rows, h)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(ffn, h)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(ffn,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(h, ffn)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(h,)) * 0.05, jnp.float32)
+    g = jnp.ones((h,), jnp.float32)
+    b = jnp.zeros((h,), jnp.float32)
+    qp = quantize_bert_params(
+        {"layers": {"q_w": w1, "k_w": w1, "v_w": w1, "o_w": w1,
+                    "fc1_w": w1, "fc2_w": w2}})
+    w1q, w2q = qp["layers"]["fc1_w"], qp["layers"]["fc2_w"]
+
+    ff = jax.nn.gelu(_qproj(x, w1q, b1), approximate=False)
+    ref = _ln(x + _qproj(ff, w2q, b2), g, b, 1e-12)
+    out = ffn_ln_block_q(x, w1q, b1, w2q, b2, g, b, eps=1e-12,
+                         block_rows=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_bert_apply_pallas_ffn_int8_equals_xla(monkeypatch):
+    from multimodal_transformer_robustness_tpu.models.bert import quantize_bert_params
+
+    cfg = bert_mod.BertConfig(vocab_size=97, hidden_size=128, num_layers=2,
+                              num_heads=2, intermediate_size=256,
+                              max_position=32, type_vocab_size=2)
+    params = quantize_bert_params(init_bert(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(0, 97, size=(3, 9)), jnp.int32)
+    mask = jnp.asarray(rng.integers(0, 2, size=(3, 9)), jnp.int32)
+    types = jnp.zeros((3, 9), jnp.int32)
+
+    ref = bert_apply(params, ids, mask, types, cfg)
+    monkeypatch.setattr(bert_mod, "FFN_IMPL", "pallas")
+    monkeypatch.setattr(bert_mod, "FFN_INTERPRET", True)
+    out = bert_apply(params, ids, mask, types, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
