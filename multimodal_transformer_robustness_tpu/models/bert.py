@@ -227,7 +227,14 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
         #                                     cast back (keeps the scan carry
         #                                     dtype stable under bf16 policy)
         attn = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, L, h)
-        x = _ln(x + lin(attn, lp["o_w"], lp["o_b"]), lp["ln1_g"], lp["ln1_b"], eps)
+        if (not isinstance(lp["o_w"], dict)
+                and _ffn_resolved_impl(h, h, False) == "pallas"):
+            # fused o-proj + residual + LN1 (ops/bert_ffn_pallas.py)
+            from ..ops.bert_ffn_pallas import proj_ln_block
+            x = proj_ln_block(x, attn, lp["o_w"], lp["o_b"], lp["ln1_g"],
+                              lp["ln1_b"], eps=eps, interpret=FFN_INTERPRET)
+        else:
+            x = _ln(x + lin(attn, lp["o_w"], lp["o_b"]), lp["ln1_g"], lp["ln1_b"], eps)
         quantized = isinstance(lp["fc1_w"], dict)
         if _ffn_resolved_impl(h, lp["fc1_b"].shape[-1], quantized) == "pallas":
             # fused fc1 -> gelu -> fc2 -> residual -> LN, one VMEM pass

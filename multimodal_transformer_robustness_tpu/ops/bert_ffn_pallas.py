@@ -61,6 +61,66 @@ def _ffn_ln_kernel(x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, g_ref, bb_ref,
     o_ref[...] = out.astype(x.dtype)
 
 
+def _proj_ln_kernel(r_ref, a_ref, wt_ref, b_ref, g_ref, bb_ref, o_ref, *,
+                    eps: float):
+    """LN(resid + a @ w.T + b) — the attention epilogue (o-proj, residual,
+    first LayerNorm) in one VMEM pass."""
+    r = r_ref[...]
+    y = jnp.dot(a_ref[...], wt_ref[...], preferred_element_type=jnp.float32)
+    y = (y + b_ref[...].astype(jnp.float32)).astype(r.dtype)
+    s = r + y
+    mu = jnp.mean(s.astype(jnp.float32), axis=-1, keepdims=True)
+    ms = jnp.mean(jnp.square(s.astype(jnp.float32)), axis=-1, keepdims=True)
+    var = jnp.maximum(ms - jnp.square(mu), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    out = ((s.astype(jnp.float32) - mu) * inv) * g_ref[...] + bb_ref[...]
+    o_ref[...] = out.astype(r.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_rows", "interpret"))
+def proj_ln_block(resid: jnp.ndarray, a: jnp.ndarray, w: jnp.ndarray,
+                  b: jnp.ndarray, ln_g: jnp.ndarray, ln_b: jnp.ndarray, *,
+                  eps: float, block_rows: int = 256, interpret: bool = False):
+    """``LayerNorm(resid + a @ w.T + b)`` fused — BERT's attention-output
+    block (HF BertSelfOutput).  ``resid``/``a``: [..., h] with identical
+    leading dims; ``w``: [h, h]."""
+    orig_shape = resid.shape
+    h = resid.shape[-1]
+    rows = 1
+    for d in orig_shape[:-1]:
+        rows *= d
+    r2 = resid.reshape(rows, h)
+    a2 = a.reshape(rows, h)
+    n_pad = _cdiv(rows, block_rows) * block_rows - rows
+    if n_pad:
+        r2 = jnp.pad(r2, ((0, n_pad), (0, 0)))
+        a2 = jnp.pad(a2, ((0, n_pad), (0, 0)))
+    wt = w.T.astype(a.dtype)
+    grid = (r2.shape[0] // block_rows,)
+    out = pl.pallas_call(
+        functools.partial(_proj_ln_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
+            pl.BlockSpec((h, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r2.shape[0], h), resid.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(r2, a2, wt, b.reshape(1, h).astype(jnp.float32),
+      ln_g.reshape(1, h).astype(jnp.float32),
+      ln_b.reshape(1, h).astype(jnp.float32))
+    if n_pad:
+        out = out[:rows]
+    return out.reshape(orig_shape)
+
+
 def _qround(xf, eps=1e-8):
     """models/bert._qrows semantics: per-row symmetric int8 with f32 scale."""
     sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), eps) / 127.0

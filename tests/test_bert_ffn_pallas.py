@@ -75,6 +75,25 @@ def test_bert_apply_pallas_ffn_equals_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+def test_proj_ln_block_matches_unfused():
+    from multimodal_transformer_robustness_tpu.ops.bert_ffn_pallas import proj_ln_block
+
+    rng = np.random.default_rng(5)
+    for rows, dt, tol in [(100, jnp.float32, 1e-6), (96, jnp.bfloat16, 0.05)]:
+        h = 128
+        resid = jnp.asarray(rng.normal(size=(rows, h)), dt)
+        a = jnp.asarray(rng.normal(size=(rows, h)), dt)
+        w = jnp.asarray(rng.normal(size=(h, h)) * 0.05, dt)
+        b = jnp.asarray(rng.normal(size=(h,)) * 0.05, dt)
+        g = jnp.asarray(rng.normal(size=(h,)) * 0.2 + 1.0, jnp.float32)
+        bb = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+        ref = _ln(resid + (a @ w.T + b), g, bb, 1e-12).astype(jnp.float32)
+        out = proj_ln_block(resid, a, w, b, g, bb, eps=1e-12, block_rows=64,
+                            interpret=True).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=tol, rtol=tol)
+
+
 def test_unaligned_dims_fall_back_to_xla():
     # h=16 (tiny test config) must resolve to the XLA path even when the
     # module flag asks for pallas
