@@ -113,7 +113,8 @@ class StreamingPredictor:
     """Owns the jitted bucketed forward; reusable across clips."""
 
     def __init__(self, model_path=None, bert_dir=None, seed=0,
-                 attn_impl: str = "xla", bert_int8: bool = False):
+                 attn_impl: str = "xla", bert_int8: bool = False,
+                 spec=None, bert_cfg=None):
         import jax
 
         from ..utils import enable_compilation_cache
@@ -125,14 +126,18 @@ class StreamingPredictor:
         from ..models.bert import BertConfig
         from ..data.tokenizer import load_tokenizer
 
-        self.spec = ModelSpec(
+        # ``spec``/``bert_cfg`` overrides exist for tests (tiny models
+        # compile in seconds); the default is the reference's MOSEI serving
+        # configuration (real-time.py:118-131)
+        self.spec = spec or ModelSpec(
             modality_set=("t", "a", "v"), orig_dimensions=(768, 768, 512),
             dimension=200, num_heads=8, head_dim=25, layers_single_attn=3,
             layers_cross_attn=4, layers_self_attn=2,
             attn_dropout=(0.1, 0.1, 0.0, 0.0), relu_dropout=0.1,
             res_dropout=0.3, out_dropout=0.1, embed_dropout=0.3,
             attn_mask=True, output_dim=1, attn_impl=attn_impl)
-        bert_cfg = None if bert_dir else BertConfig(num_layers=4)
+        if bert_cfg is None and not bert_dir:
+            bert_cfg = BertConfig(num_layers=4)
         self.params, self.frozen = init_supernet(
             jax.random.PRNGKey(seed), self.spec, bert_cfg=bert_cfg,
             bert_dir=bert_dir)
@@ -174,9 +179,10 @@ class StreamingPredictor:
                          [enc["attention_mask"]]])  # [3, 1, L]
         ta = _bucket(audio_feats.shape[1])
         tv = _bucket(face_feats.shape[1])
-        audio = np.zeros((1, ta, 768), np.float32)
+        d_a, d_v = self.spec.orig_dimensions[1], self.spec.orig_dimensions[2]
+        audio = np.zeros((1, ta, d_a), np.float32)
         audio[:, : audio_feats.shape[1]] = audio_feats
-        vision = np.zeros((1, tv, 512), np.float32)
+        vision = np.zeros((1, tv, d_v), np.float32)
         vision[:, : face_feats.shape[1]] = face_feats
         out = self._fwd(self.params, self.masks, self.frozen,
                         [jnp.asarray(text), jnp.asarray(audio),
