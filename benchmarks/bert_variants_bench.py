@@ -106,8 +106,8 @@ def main(argv=None):
 
     variants = ["transpose", "bqhd_reshape", "bqhd_fusedo", "prod_castin",
                 "prod_x2", "dots_only", "unrolled", "bf16_softmax",
-                "gelu_tanh", "fused_qkv", "pallas_ffn", "prod_int8",
-                "pallas_ffn_int8"]
+                "gelu_tanh", "fused_qkv", "pallas_ffn", "pallas_ffn_r256",
+                "prod_int8", "pallas_ffn_int8"]
     fns = {}
     for v in variants[:3]:
         # thread a scalar through ids so iterations have a data dependency
@@ -313,6 +313,18 @@ def main(argv=None):
 
     fns["pallas_ffn"] = jax.jit(pallas_ffn)
 
+    def pallas_ffn_r256(carry, params):
+        """pallas_ffn with 256-row kernel blocks (VMEM-pressure probe)"""
+        old_impl, old_rows = bert_mod.FFN_IMPL, bert_mod.FFN_BLOCK_ROWS
+        bert_mod.FFN_IMPL, bert_mod.FFN_BLOCK_ROWS = "pallas", 256
+        try:
+            out = bert_mod.bert_apply(params, ids + carry, mask, types, cfg)
+        finally:
+            bert_mod.FFN_IMPL, bert_mod.FFN_BLOCK_ROWS = old_impl, old_rows
+        return depyce(out)
+
+    fns["pallas_ffn_r256"] = jax.jit(pallas_ffn_r256)
+
     params_q = bert_mod.quantize_bert_params(params_f32)
 
     def prod_int8(carry, params):
@@ -343,6 +355,7 @@ def main(argv=None):
     inp["gelu_tanh"] = params
     inp["fused_qkv"] = params
     inp["pallas_ffn"] = params
+    inp["pallas_ffn_r256"] = params
     inp["prod_int8"] = params_q
     inp["pallas_ffn_int8"] = params_q
     for v in variants:

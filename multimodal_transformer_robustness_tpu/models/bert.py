@@ -37,6 +37,8 @@ FFN_IMPL = "xla"  # "auto" | "pallas" | "xla" — FFN-block implementation.
 #   (benchmarks/bert_variants_bench.py "pallas_ffn") shows a win — do not
 #   flip without a measurement.
 FFN_INTERPRET = False  # tests: run the kernel in interpret mode on CPU
+FFN_BLOCK_ROWS = 128   # kernel row-block; 128 fits VMEM with margin, 256
+#                        halves grid overhead (tunable via the variants bench)
 
 
 def _ffn_resolved_impl(h: int, ffn: int, quantized: bool) -> str:
@@ -232,7 +234,8 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
             # fused o-proj + residual + LN1 (ops/bert_ffn_pallas.py)
             from ..ops.bert_ffn_pallas import proj_ln_block
             x = proj_ln_block(x, attn, lp["o_w"], lp["o_b"], lp["ln1_g"],
-                              lp["ln1_b"], eps=eps, interpret=FFN_INTERPRET)
+                              lp["ln1_b"], eps=eps, interpret=FFN_INTERPRET,
+                              block_rows=min(FFN_BLOCK_ROWS * 2, 512))
         else:
             x = _ln(x + lin(attn, lp["o_w"], lp["o_b"]), lp["ln1_g"], lp["ln1_b"], eps)
         quantized = isinstance(lp["fc1_w"], dict)
@@ -243,7 +246,7 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
             fused = ffn_ln_block_q if quantized else ffn_ln_block
             x = fused(x, lp["fc1_w"], lp["fc1_b"], lp["fc2_w"],
                       lp["fc2_b"], lp["ln2_g"], lp["ln2_b"], eps=eps,
-                      interpret=FFN_INTERPRET)
+                      interpret=FFN_INTERPRET, block_rows=FFN_BLOCK_ROWS)
         else:
             ff = jax.nn.gelu(lin(x, lp["fc1_w"], lp["fc1_b"]), approximate=False)
             x = _ln(x + lin(ff, lp["fc2_w"], lp["fc2_b"]), lp["ln2_g"], lp["ln2_b"], eps)
