@@ -306,3 +306,57 @@ def test_trainer_mesh_sweep_and_ea_match_unsharded(setup):
     genomes = [ea_plain.random_genome() for _ in range(6)]
     np.testing.assert_allclose(ea_mesh.eval_population(genomes),
                                ea_plain.eval_population(genomes), rtol=1e-6)
+
+
+def test_trainer_mesh_cached_text_matches_unsharded():
+    """--mesh x --cache_text combo (both reachable together from cli.main):
+    dp-sharded training on precomputed [B, L, 768-ish] text FEATURES (not
+    [3, B, L] token stacks) matches the unsharded cached trainer."""
+    from multimodal_transformer_robustness_tpu.data.loaders import BatchIterator
+    from multimodal_transformer_robustness_tpu.models.bert import tiny_bert_config
+    from multimodal_transformer_robustness_tpu.train import TrainHParams, Trainer
+    from multimodal_transformer_robustness_tpu.train.features import CachedTextDataset
+
+    spec = ModelSpec(
+        modality_set=("t", "a"), orig_dimensions=(6, 4), dimension=8,
+        num_heads=2, head_dim=4, layers_single_attn=1, layers_cross_attn=1,
+        layers_self_attn=1, attn_dropout=(0.0, 0.0, 0.0), relu_dropout=0.0,
+        res_dropout=0.0, out_dropout=0.0, embed_dropout=0.0, attn_mask=True,
+        output_dim=1)
+    bert_cfg = tiny_bert_config()
+    params, frozen = init_supernet(jax.random.PRNGKey(0), spec,
+                                   bert_cfg=bert_cfg)
+
+    class _TextDS:
+        def __init__(self, n=16, L=7, T=5, vocab=64, seed=0):
+            r = np.random.default_rng(seed)
+            self.text = np.stack([r.integers(1, vocab, (n, L)),
+                                  np.zeros((n, L), np.int64),
+                                  np.ones((n, L), np.int64)])
+            self.audio = r.standard_normal((n, T, 4)).astype(np.float32)
+            self.labels = r.standard_normal((n, 1)).astype(np.float32)
+
+        def __len__(self):
+            return self.text.shape[1]
+
+        def gather(self, idx):
+            return [self.text[:, idx], self.audio[idx]], self.labels[idx]
+
+    cached = CachedTextDataset(_TextDS(), frozen, bert_cfg, batch_size=8)
+    hp = TrainHParams(batch_size=8, optim="SGD", criterion="L1Loss", seed=0,
+                      dataset="mosei_senti")
+    masks = build_masks(spec, full_active_config(spec))
+
+    def one_epoch(mesh):
+        tr = Trainer(spec, jax.tree.map(jnp.copy, params), frozen, hp,
+                     bert_cfg=bert_cfg, mesh=mesh)
+        loss, _ = tr.train_epoch(BatchIterator(cached, 8, shuffle=True,
+                                               seed=3), masks, 0)
+        return float(loss), tr.params
+
+    l_plain, p_plain = one_epoch(None)
+    l_mesh, p_mesh = one_epoch(make_mesh((("dp", 4), ("mp", 2))))
+    np.testing.assert_allclose(l_mesh, l_plain, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_mesh)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
