@@ -133,5 +133,10 @@ def main(argv=None):
     return best_valids, best_info
 
 
+def script_main(argv=None) -> None:
+    """Console-script shim (see cli.main.script_main): keep exit status 0."""
+    main(argv)
+
+
 if __name__ == "__main__":
     main()

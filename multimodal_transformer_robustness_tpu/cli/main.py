@@ -349,5 +349,12 @@ def main(argv=None):
     return trainer
 
 
+def script_main(argv=None) -> None:
+    """Console-script shim: main() returns the Trainer for programmatic use,
+    but setuptools entry points run ``sys.exit(main())`` — a non-None return
+    would turn every successful run into exit status 1."""
+    main(argv)
+
+
 if __name__ == "__main__":
     main()

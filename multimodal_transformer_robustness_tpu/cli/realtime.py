@@ -129,6 +129,9 @@ class StreamingPredictor:
         # ``spec``/``bert_cfg`` overrides exist for tests (tiny models
         # compile in seconds); the default is the reference's MOSEI serving
         # configuration (real-time.py:118-131)
+        if spec is not None and attn_impl != "xla":
+            raise ValueError("attn_impl is consumed by the default ModelSpec "
+                             "only; set spec.attn_impl on the override")
         self.spec = spec or ModelSpec(
             modality_set=("t", "a", "v"), orig_dimensions=(768, 768, 512),
             dimension=200, num_heads=8, head_dim=25, layers_single_attn=3,
@@ -136,7 +139,20 @@ class StreamingPredictor:
             attn_dropout=(0.1, 0.1, 0.0, 0.0), relu_dropout=0.1,
             res_dropout=0.3, out_dropout=0.1, embed_dropout=0.3,
             attn_mask=True, output_dim=1, attn_impl=attn_impl)
-        if bert_cfg is None and not bert_dir:
+        if bert_dir and bert_cfg is not None:
+            raise ValueError(
+                "pass either bert_dir or bert_cfg, not both: the apply-time "
+                "config must match the checkpoint's geometry")
+        if bert_dir:
+            # resolve the checkpoint's real config for APPLY time (same
+            # hazard cli/main.py:223-234 guards: init would use the loaded
+            # geometry while a default BertConfig() at apply time silently
+            # mis-shapes heads/eps)
+            from ..models.bert import load_hf_bert_params
+
+            loaded = load_hf_bert_params(bert_dir)
+            bert_cfg = loaded[1] if loaded else BertConfig(num_layers=4)
+        elif bert_cfg is None:
             bert_cfg = BertConfig(num_layers=4)
         self.params, self.frozen = init_supernet(
             jax.random.PRNGKey(seed), self.spec, bert_cfg=bert_cfg,
@@ -173,10 +189,16 @@ class StreamingPredictor:
                 face_feats: np.ndarray) -> float:
         import jax.numpy as jnp
 
-        L = _bucket(len(text_tokens) + 2)
-        enc = self.tokenizer.encode_plus(" ".join(text_tokens), max_length=L)
-        text = np.stack([[enc["input_ids"]], [enc["token_type_ids"]],
-                         [enc["attention_mask"]]])  # [3, 1, L]
+        # tokenize FIRST, bucket on the wordpiece count: OOV/long words
+        # expand to several pieces, so bucketing on the whitespace word
+        # count would let encode_plus silently truncate the transcript tail
+        max_pos = 512 if self.bert_cfg is None else self.bert_cfg.max_position
+        enc = self.tokenizer.encode_plus(" ".join(text_tokens),
+                                         max_length=max_pos)
+        n_real = int(sum(enc["attention_mask"]))  # CLS + pieces + SEP
+        L = min(_bucket(n_real), max_pos)
+        text = np.stack([[enc["input_ids"][:L]], [enc["token_type_ids"][:L]],
+                         [enc["attention_mask"][:L]]])  # [3, 1, L]
         ta = _bucket(audio_feats.shape[1])
         tv = _bucket(face_feats.shape[1])
         d_a, d_v = self.spec.orig_dimensions[1], self.spec.orig_dimensions[2]
@@ -235,6 +257,11 @@ def main(argv=None):
               f"audio {1000*(t_audio-t_face):.1f} ms, "
               f"model {1000*(t_model-t_audio):.1f} ms)")
     return predictor
+
+
+def script_main(argv=None) -> None:
+    """Console-script shim (see cli.main.script_main): keep exit status 0."""
+    main(argv)
 
 
 if __name__ == "__main__":

@@ -30,12 +30,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-FFN_IMPL = "xla"  # "auto" | "pallas" | "xla" — FFN-block implementation.
+FFN_IMPL = "xla"  # "auto" | "pallas" | "xla" — float-weight FFN-block impl.
 #   "auto" resolves to the fused Pallas kernel (ops/bert_ffn_pallas.py) on
-#   TPU for float (non-int8) weights with MXU-aligned dims, "xla" elsewhere.
-#   Default stays "xla" until the kernel's on-chip A/B
-#   (benchmarks/bert_variants_bench.py "pallas_ffn") shows a win — do not
-#   flip without a measurement.
+#   TPU for MXU-aligned dims, "xla" elsewhere.  Default stays "xla" until
+#   the kernel's on-chip A/B (benchmarks/bert_variants_bench.py
+#   "pallas_ffn" vs "prod_castin") shows a win — do not flip without a
+#   measurement.
+FFN_IMPL_INT8 = "xla"  # same contract for --bert_int8 quantized weights
+#   (ffn_ln_block_q); gated SEPARATELY so the float kernel can win/flip
+#   without dragging an unvalidated int8 kernel along ("pallas_ffn_int8"
+#   vs "prod_int8" is its own A/B).
 FFN_INTERPRET = False  # tests: run the kernel in interpret mode on CPU
 FFN_BLOCK_ROWS = 128   # kernel row-block; 128 fits VMEM with margin, 256
 #                        halves grid overhead (tunable via the variants bench)
@@ -44,10 +48,11 @@ FFN_BLOCK_ROWS = 128   # kernel row-block; 128 fits VMEM with margin, 256
 def _ffn_resolved_impl(h: int, ffn: int, quantized: bool) -> str:
     if h % 128 or ffn % 128:
         return "xla"
-    if FFN_IMPL == "auto":
+    impl = FFN_IMPL_INT8 if quantized else FFN_IMPL
+    if impl == "auto":
         return ("pallas" if jax.default_backend() == "tpu" or FFN_INTERPRET
                 else "xla")
-    return FFN_IMPL
+    return impl
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,29 +1,31 @@
-"""Fused frozen-BERT FFN block — Pallas TPU kernel (forward-only).
+"""Fused frozen-BERT layer-epilogue kernels — Pallas TPU, forward-only.
 
-One BERT encoder layer ends with
+A BERT encoder layer (HF BertLayer; the reference runs it frozen under
+torch.no_grad, src/dynamic_models2.py:46-55) is
 
-    out = LayerNorm(x + fc2(gelu(fc1(x))))            (HF BertLayer; the
-                                                       reference runs it
-                                                       frozen under
-                                                       torch.no_grad,
-                                                       src/dynamic_models2.py:46-55)
+    x2  = LayerNorm(x + o_proj(attention))            # BertSelfOutput
+    out = LayerNorm(x2 + fc2(gelu(fc1(x2))))          # Intermediate+Output
 
-Under XLA this is two dots plus three separate elementwise/reduction
-fusions, each round-tripping the [B*L, ffn] / [B*L, h] activations through
-HBM, plus an exact-erf gelu over ~100M elements/layer on the VPU.  This
-kernel computes the whole block for a row-block of ``x`` in one
-``pallas_call``: the fc1 output, gelu, fc2 output, residual and LayerNorm
-never leave VMEM — HBM sees only the input block, the (grid-resident)
-weights and the output block.
+Under XLA these are dots plus separate elementwise/reduction fusions, each
+round-tripping the [B*L, ffn] / [B*L, h] activations through HBM, plus an
+exact-erf gelu over ~100M elements/layer on the VPU.  The kernels here
+compute each block for a row-block of the input in one ``pallas_call``:
+intermediates never leave VMEM — HBM sees only the input block, the
+(grid-invariant) weights and the output block.
+
+  * :func:`proj_ln_block`   — o-proj + residual + LN1
+  * :func:`ffn_ln_block`    — fc1 + gelu + fc2 + residual + LN2
+  * :func:`ffn_ln_block_q`  — same with --bert_int8 int8 weights and
+                              in-kernel dynamic per-row int8 activations
 
 Forward-only by design: the text BERT is FROZEN (no gradients flow through
 it — models/mult.py stops them), so no VJP is needed.  The trainable trunk
-never routes through this kernel.
+never routes through these kernels.
 
-Numerics match :func:`models.bert.bert_apply`'s FFN segment to bf16/f32
-fusion-rounding tolerance (exact-erf gelu, f32 LayerNorm moments, residual
-in the compute dtype); exactness is pinned by tests/test_bert_ffn_pallas.py
-against the unfused composition.
+Numerics match :func:`models.bert.bert_apply`'s unfused compositions to
+bf16/f32 fusion-rounding tolerance (exact-erf gelu, f32 LayerNorm moments,
+residual in the compute dtype); exactness is pinned by
+tests/test_bert_ffn_pallas.py.
 """
 
 from __future__ import annotations
@@ -40,6 +42,62 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _ln_epilogue(s, g, b, eps: float):
+    """In-kernel LayerNorm with f32 moments (models/bert._ln semantics);
+    shared by every kernel so a numerics fix lands in all of them."""
+    mu = jnp.mean(s.astype(jnp.float32), axis=-1, keepdims=True)
+    ms = jnp.mean(jnp.square(s.astype(jnp.float32)), axis=-1, keepdims=True)
+    var = jnp.maximum(ms - jnp.square(mu), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    return ((s.astype(jnp.float32) - mu) * inv) * g + b
+
+
+def _qround(xf, eps=1e-8):
+    """models/bert._qrows semantics: per-row symmetric int8 with f32 scale."""
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), eps) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _rows_call(kernel, rows_in, consts, h: int, out_dtype, block_rows: int,
+               interpret: bool):
+    """Shared pad/grid/unpad harness.  ``rows_in``: [rows, h] arrays blocked
+    together along rows (pad rows compute garbage that is sliced off —
+    every row is independent in these kernels); ``consts``: grid-invariant
+    2-D operands (weights / biases / LN params), fetched once."""
+    rows = rows_in[0].shape[0]
+    padded = _cdiv(rows, block_rows) * block_rows
+    if padded != rows:
+        rows_in = [jnp.pad(a, ((0, padded - rows), (0, 0))) for a in rows_in]
+    in_specs = (
+        [pl.BlockSpec((block_rows, h), lambda i: (i, 0))] * len(rows_in)
+        + [pl.BlockSpec(c.shape, lambda i: (0, 0)) for c in consts])
+    out = pl.pallas_call(
+        kernel,
+        grid=(padded // block_rows,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((padded, h), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(*rows_in, *consts)
+    return out[:rows] if padded != rows else out
+
+
+def _flat_rows(x):
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    return x.reshape(rows, x.shape[-1])
+
+
+def _f32_row(a, n):
+    return a.reshape(1, n).astype(jnp.float32)
+
+
+# --------------------------------------------------------- float kernels
+
 def _ffn_ln_kernel(x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, g_ref, bb_ref,
                    o_ref, *, eps: float):
     x = x_ref[...]
@@ -47,18 +105,34 @@ def _ffn_ln_kernel(x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, g_ref, bb_ref,
     # compute dtype like the unfused ``x @ w.T + b`` (bf16 dot rounds after
     # its f32 accumulation too)
     h1 = jnp.dot(x, w1t_ref[...], preferred_element_type=jnp.float32)
-    h1 = (h1 + b1_ref[...].astype(jnp.float32)).astype(x.dtype)
+    h1 = (h1 + b1_ref[...]).astype(x.dtype)
     g1 = jax.nn.gelu(h1, approximate=False)
     y = jnp.dot(g1, w2t_ref[...], preferred_element_type=jnp.float32)
-    y = (y + b2_ref[...].astype(jnp.float32)).astype(x.dtype)
-    s = x + y
-    # LayerNorm, f32 moments (models/bert._ln)
-    mu = jnp.mean(s.astype(jnp.float32), axis=-1, keepdims=True)
-    ms = jnp.mean(jnp.square(s.astype(jnp.float32)), axis=-1, keepdims=True)
-    var = jnp.maximum(ms - jnp.square(mu), 0.0)
-    inv = jax.lax.rsqrt(var + eps)
-    out = ((s.astype(jnp.float32) - mu) * inv) * g_ref[...] + bb_ref[...]
+    y = (y + b2_ref[...]).astype(x.dtype)
+    out = _ln_epilogue(x + y, g_ref[...], bb_ref[...], eps)
     o_ref[...] = out.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_rows", "interpret"))
+def ffn_ln_block(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+                 w2: jnp.ndarray, b2: jnp.ndarray, ln_g: jnp.ndarray,
+                 ln_b: jnp.ndarray, *, eps: float,
+                 block_rows: int = 128, interpret: bool = False):
+    """``LayerNorm(x + (gelu(x @ w1.T + b1) @ w2.T + b2))`` fused.
+    x: [..., h]; w1: [ffn, h]; w2: [h, ffn]; LN params [h]."""
+    h = x.shape[-1]
+    ffn = w1.shape[0]
+    # pre-transpose once per call so the in-kernel dots are plain [R,h]@[h,F]
+    # / [R,F]@[F,h] (no in-kernel relayout); XLA hoists these out of any
+    # surrounding scan iteration over stacked frozen layers.
+    out = _rows_call(
+        functools.partial(_ffn_ln_kernel, eps=eps),
+        [_flat_rows(x)],
+        [w1.T.astype(x.dtype), _f32_row(b1, ffn),
+         w2.T.astype(x.dtype), _f32_row(b2, h),
+         _f32_row(ln_g, h), _f32_row(ln_b, h)],
+        h, x.dtype, block_rows, interpret)
+    return out.reshape(x.shape)
 
 
 def _proj_ln_kernel(r_ref, a_ref, wt_ref, b_ref, g_ref, bb_ref, o_ref, *,
@@ -67,13 +141,8 @@ def _proj_ln_kernel(r_ref, a_ref, wt_ref, b_ref, g_ref, bb_ref, o_ref, *,
     first LayerNorm) in one VMEM pass."""
     r = r_ref[...]
     y = jnp.dot(a_ref[...], wt_ref[...], preferred_element_type=jnp.float32)
-    y = (y + b_ref[...].astype(jnp.float32)).astype(r.dtype)
-    s = r + y
-    mu = jnp.mean(s.astype(jnp.float32), axis=-1, keepdims=True)
-    ms = jnp.mean(jnp.square(s.astype(jnp.float32)), axis=-1, keepdims=True)
-    var = jnp.maximum(ms - jnp.square(mu), 0.0)
-    inv = jax.lax.rsqrt(var + eps)
-    out = ((s.astype(jnp.float32) - mu) * inv) * g_ref[...] + bb_ref[...]
+    y = (y + b_ref[...]).astype(r.dtype)
+    out = _ln_epilogue(r + y, g_ref[...], bb_ref[...], eps)
     o_ref[...] = out.astype(r.dtype)
 
 
@@ -84,49 +153,17 @@ def proj_ln_block(resid: jnp.ndarray, a: jnp.ndarray, w: jnp.ndarray,
     """``LayerNorm(resid + a @ w.T + b)`` fused — BERT's attention-output
     block (HF BertSelfOutput).  ``resid``/``a``: [..., h] with identical
     leading dims; ``w``: [h, h]."""
-    orig_shape = resid.shape
     h = resid.shape[-1]
-    rows = 1
-    for d in orig_shape[:-1]:
-        rows *= d
-    r2 = resid.reshape(rows, h)
-    a2 = a.reshape(rows, h)
-    n_pad = _cdiv(rows, block_rows) * block_rows - rows
-    if n_pad:
-        r2 = jnp.pad(r2, ((0, n_pad), (0, 0)))
-        a2 = jnp.pad(a2, ((0, n_pad), (0, 0)))
-    wt = w.T.astype(a.dtype)
-    grid = (r2.shape[0] // block_rows,)
-    out = pl.pallas_call(
+    out = _rows_call(
         functools.partial(_proj_ln_kernel, eps=eps),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
-            pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
-            pl.BlockSpec((h, h), lambda i: (0, 0)),
-            pl.BlockSpec((1, h), lambda i: (0, 0)),
-            pl.BlockSpec((1, h), lambda i: (0, 0)),
-            pl.BlockSpec((1, h), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((r2.shape[0], h), resid.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
-        interpret=interpret,
-    )(r2, a2, wt, b.reshape(1, h).astype(jnp.float32),
-      ln_g.reshape(1, h).astype(jnp.float32),
-      ln_b.reshape(1, h).astype(jnp.float32))
-    if n_pad:
-        out = out[:rows]
-    return out.reshape(orig_shape)
+        [_flat_rows(resid), _flat_rows(a)],
+        [w.T.astype(a.dtype), _f32_row(b, h),
+         _f32_row(ln_g, h), _f32_row(ln_b, h)],
+        h, resid.dtype, block_rows, interpret)
+    return out.reshape(resid.shape)
 
 
-def _qround(xf, eps=1e-8):
-    """models/bert._qrows semantics: per-row symmetric int8 with f32 scale."""
-    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), eps) / 127.0
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    return xq, sx
-
+# ---------------------------------------------------------- int8 kernel
 
 def _ffn_ln_kernel_q(x_ref, w1qt_ref, w1s_ref, b1_ref, w2qt_ref, w2s_ref,
                      b2_ref, g_ref, bb_ref, o_ref, *, eps: float):
@@ -138,18 +175,13 @@ def _ffn_ln_kernel_q(x_ref, w1qt_ref, w1s_ref, b1_ref, w2qt_ref, w2s_ref,
     xq, sx = _qround(x.astype(jnp.float32))
     acc = jnp.dot(xq, w1qt_ref[...], preferred_element_type=jnp.int32)
     h1 = (acc.astype(jnp.float32) * sx * w1s_ref[...]
-          + b1_ref[...].astype(jnp.float32)).astype(x.dtype)
+          + b1_ref[...]).astype(x.dtype)
     g1 = jax.nn.gelu(h1, approximate=False)
     gq, sg = _qround(g1.astype(jnp.float32))
     acc2 = jnp.dot(gq, w2qt_ref[...], preferred_element_type=jnp.int32)
     y = (acc2.astype(jnp.float32) * sg * w2s_ref[...]
-         + b2_ref[...].astype(jnp.float32)).astype(x.dtype)
-    s = x + y
-    mu = jnp.mean(s.astype(jnp.float32), axis=-1, keepdims=True)
-    ms = jnp.mean(jnp.square(s.astype(jnp.float32)), axis=-1, keepdims=True)
-    var = jnp.maximum(ms - jnp.square(mu), 0.0)
-    inv = jax.lax.rsqrt(var + eps)
-    out = ((s.astype(jnp.float32) - mu) * inv) * g_ref[...] + bb_ref[...]
+         + b2_ref[...]).astype(x.dtype)
+    out = _ln_epilogue(x + y, g_ref[...], bb_ref[...], eps)
     o_ref[...] = out.astype(x.dtype)
 
 
@@ -162,101 +194,13 @@ def ffn_ln_block_q(x: jnp.ndarray, w1: dict, b1: jnp.ndarray,
     ``{"q": int8 [out, in], "s": f32 [out]}`` dicts from
     models/bert.quantize_bert_params.  Matches the unfused
     ``_ln(x + _qproj(gelu(_qproj(x, w1, b1)), w2, b2))`` composition."""
-    orig_shape = x.shape
     h = x.shape[-1]
     ffn = w1["q"].shape[0]
-    rows = 1
-    for d in orig_shape[:-1]:
-        rows *= d
-    x2 = x.reshape(rows, h)
-    n_pad = _cdiv(rows, block_rows) * block_rows - rows
-    if n_pad:
-        x2 = jnp.pad(x2, ((0, n_pad), (0, 0)))
-
-    w1qt = w1["q"].T          # [h, ffn] int8
-    w2qt = w2["q"].T          # [ffn, h] int8
-
-    grid = (x2.shape[0] // block_rows,)
-    out = pl.pallas_call(
+    out = _rows_call(
         functools.partial(_ffn_ln_kernel_q, eps=eps),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
-            pl.BlockSpec((h, ffn), lambda i: (0, 0)),
-            pl.BlockSpec((1, ffn), lambda i: (0, 0)),
-            pl.BlockSpec((1, ffn), lambda i: (0, 0)),
-            pl.BlockSpec((ffn, h), lambda i: (0, 0)),
-            pl.BlockSpec((1, h), lambda i: (0, 0)),
-            pl.BlockSpec((1, h), lambda i: (0, 0)),
-            pl.BlockSpec((1, h), lambda i: (0, 0)),
-            pl.BlockSpec((1, h), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((x2.shape[0], h), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
-        interpret=interpret,
-    )(x2, w1qt, w1["s"].reshape(1, ffn).astype(jnp.float32),
-      b1.reshape(1, ffn).astype(jnp.float32),
-      w2qt, w2["s"].reshape(1, h).astype(jnp.float32),
-      b2.reshape(1, h).astype(jnp.float32),
-      ln_g.reshape(1, h).astype(jnp.float32),
-      ln_b.reshape(1, h).astype(jnp.float32))
-    if n_pad:
-        out = out[:rows]
-    return out.reshape(orig_shape)
-
-
-@functools.partial(jax.jit, static_argnames=("eps", "block_rows", "interpret"))
-def ffn_ln_block(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
-                 w2: jnp.ndarray, b2: jnp.ndarray, ln_g: jnp.ndarray,
-                 ln_b: jnp.ndarray, *, eps: float,
-                 block_rows: int = 128, interpret: bool = False):
-    """``LayerNorm(x + (gelu(x @ w1.T + b1) @ w2.T + b2))`` fused.
-
-    x: [..., h] (leading dims flattened to rows); w1: [ffn, h]; w2: [h, ffn];
-    LN params [h].  Rows are padded to ``block_rows`` (pad rows compute
-    garbage that is sliced off — every row's FFN/LN is row-independent).
-    """
-    orig_shape = x.shape
-    h = x.shape[-1]
-    ffn = w1.shape[0]
-    rows = 1
-    for d in orig_shape[:-1]:
-        rows *= d
-    x2 = x.reshape(rows, h)
-    n_pad = _cdiv(rows, block_rows) * block_rows - rows
-    if n_pad:
-        x2 = jnp.pad(x2, ((0, n_pad), (0, 0)))
-
-    # pre-transpose once per call so the in-kernel dots are plain [R,h]@[h,F]
-    # / [R,F]@[F,h] (no in-kernel relayout); XLA hoists these out of any
-    # surrounding scan iteration over stacked frozen layers.
-    w1t = w1.T.astype(x.dtype)
-    w2t = w2.T.astype(x.dtype)
-
-    grid = (x2.shape[0] // block_rows,)
-    out = pl.pallas_call(
-        functools.partial(_ffn_ln_kernel, eps=eps),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
-            pl.BlockSpec((h, ffn), lambda i: (0, 0)),
-            pl.BlockSpec((1, ffn), lambda i: (0, 0)),
-            pl.BlockSpec((ffn, h), lambda i: (0, 0)),
-            pl.BlockSpec((1, h), lambda i: (0, 0)),
-            pl.BlockSpec((1, h), lambda i: (0, 0)),
-            pl.BlockSpec((1, h), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((x2.shape[0], h), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
-        interpret=interpret,
-    )(x2, w1t, b1.reshape(1, ffn).astype(jnp.float32),
-      w2t, b2.reshape(1, h).astype(jnp.float32),
-      ln_g.reshape(1, h).astype(jnp.float32),
-      ln_b.reshape(1, h).astype(jnp.float32))
-    if n_pad:
-        out = out[:rows]
-    return out.reshape(orig_shape)
+        [_flat_rows(x)],
+        [w1["q"].T, _f32_row(w1["s"], ffn), _f32_row(b1, ffn),
+         w2["q"].T, _f32_row(w2["s"], h), _f32_row(b2, h),
+         _f32_row(ln_g, h), _f32_row(ln_b, h)],
+        h, x.dtype, block_rows, interpret)
+    return out.reshape(x.shape)
