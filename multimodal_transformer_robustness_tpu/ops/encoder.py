@@ -46,6 +46,13 @@ from .positional import make_positions, sinusoidal_pe
 # bit-identical (checkpoint replays the same ops with the same rngs).
 REMAT_LAYERS = True
 REMAT_MIN_ROWS = 512
+# A T==1 stack's saved activations are tiny ([B, 1, E] + [B, 1, ffn] per
+# layer: ~2 MB bf16 at B=1024) so remat buys it almost no HBM headroom but
+# doubles its dropout-RNG + elementwise work in the backward pass.  Setting
+# REMAT_MIN_TIME = 2 exempts T==1 stacks from remat; 1 keeps the round-2
+# behavior (remat whenever rows >= REMAT_MIN_ROWS).  Default decided by
+# on-chip A/B (BENCH_NOTES "remat T==1 exemption").
+REMAT_MIN_TIME = 1
 
 
 @register_dataclass
@@ -230,7 +237,8 @@ def encoder_forward(
                 lrng if rng is not None else None)
             return jnp.where(gate > 0, y, carry), None
 
-        if REMAT_LAYERS and train and x.shape[0] * x.shape[1] >= REMAT_MIN_ROWS:
+        if (REMAT_LAYERS and train and x.shape[1] >= REMAT_MIN_TIME
+                and x.shape[0] * x.shape[1] >= REMAT_MIN_ROWS):
             body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, (params["layers"], masks.layer_gates, layer_rngs))
 
