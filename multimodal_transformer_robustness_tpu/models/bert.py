@@ -43,6 +43,9 @@ FFN_IMPL_INT8 = "xla"  # same contract for --bert_int8 quantized weights
 FFN_INTERPRET = False  # tests: run the kernel in interpret mode on CPU
 FFN_BLOCK_ROWS = 128   # kernel row-block; 128 fits VMEM with margin, 256
 #                        halves grid overhead (tunable via the variants bench)
+SCAN_UNROLL = False  # unroll the 4-layer scan so XLA schedules across
+#                      layers; the variants bench "unrolled" cell measures
+#                      it — flip only on a win (costs compile time + code).
 
 
 def _ffn_resolved_impl(h: int, ffn: int, quantized: bool) -> str:
@@ -257,7 +260,7 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
             x = _ln(x + lin(ff, lp["fc2_w"], lp["fc2_b"]), lp["ln2_g"], lp["ln2_b"], eps)
         return x, None
 
-    x, _ = jax.lax.scan(layer, x, params["layers"])
+    x, _ = jax.lax.scan(layer, x, params["layers"], unroll=SCAN_UNROLL)
     return x
 
 

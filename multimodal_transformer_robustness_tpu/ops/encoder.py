@@ -53,6 +53,12 @@ REMAT_MIN_ROWS = 512
 # behavior (remat whenever rows >= REMAT_MIN_ROWS).  Default decided by
 # on-chip A/B (BENCH_NOTES "remat T==1 exemption").
 REMAT_MIN_TIME = 1
+# Unroll the layer scan: the T==1 stacks' per-layer work is a handful of
+# small fused kernels, so the scan's per-iteration fixed cost is a real
+# fraction of their time; unrolling lets XLA schedule/fuse across layers.
+# True fully unrolls (L is 2-4 here).  Default decided by on-chip A/B
+# (benchmarks/stack_knobs_ab.py) — scan keeps compile time low meanwhile.
+SCAN_UNROLL = False
 
 
 @register_dataclass
@@ -240,6 +246,7 @@ def encoder_forward(
         if (REMAT_LAYERS and train and x.shape[1] >= REMAT_MIN_TIME
                 and x.shape[0] * x.shape[1] >= REMAT_MIN_ROWS):
             body = jax.checkpoint(body)
-        x, _ = jax.lax.scan(body, x, (params["layers"], masks.layer_gates, layer_rngs))
+        x, _ = jax.lax.scan(body, x, (params["layers"], masks.layer_gates, layer_rngs),
+                            unroll=SCAN_UNROLL)
 
     return masked_layer_norm(x, params["ln"]["g"], params["ln"]["b"], cm)
