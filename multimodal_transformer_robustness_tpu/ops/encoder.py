@@ -42,8 +42,10 @@ from .positional import make_positions, sinusoidal_pe
 # 30.3 -> 26.2 ms (-13%); B=256 neutral; B=16 11.5 ms vs 7.3 (-57% — at
 # tiny batches the stacks are latency-bound and recompute just doubles
 # work).  So remat engages only when the stack sees >= REMAT_MIN_ROWS
-# batch*time rows (trace-time decision; shapes are static).  Gradients are
-# bit-identical (checkpoint replays the same ops with the same rngs).
+# batch*time rows (trace-time decision; shapes are static).  Values are
+# bit-identical (same forward program, same rngs); gradients agree to ULP
+# level only — the backward graph differs (replay vs stored activations),
+# so XLA fuses/rounds differently (measured 1.8e-7 rel, test_scan_unroll).
 REMAT_LAYERS = True
 REMAT_MIN_ROWS = 512
 # A T==1 stack's saved activations are tiny ([B, 1, E] + [B, 1, ffn] per
