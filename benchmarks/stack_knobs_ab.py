@@ -13,6 +13,10 @@ Cells run back-to-back in ONE process (tunnel drift makes cross-process
 comparisons useless under ~10%, BENCH_NOTES "Tunnel drift"), with the
 baseline repeated last as the drift control (A/B/.../A).
 
+Note: with --cached_text each cell re-runs the knob-independent frozen-BERT
+feature precompute (~0.5 s at bench shapes) — accepted cost; the timed
+steady-state loop is what the cells compare.
+
 Usage: python benchmarks/stack_knobs_ab.py [--cached_text] [--batch N]
 """
 

@@ -1,12 +1,15 @@
 """The staged stack knobs must not change values or gradients.
 
 SCAN_UNROLL (ops/encoder.py, models/bert.py) unrolls the layer scan —
-pure scheduling, so outputs must be BIT-identical rolled vs unrolled,
-including with depth gates active and in train mode (same rng draws).
+pure scheduling, so outputs must match rolled vs unrolled, including with
+depth gates active and in train mode (same rng draws).  Bit-identical on
+today's CPU backend; asserted to near-zero tolerance because XLA does not
+GUARANTEE identical rounding once it may fuse across unrolled layers.
 
-REMAT_MIN_TIME=2 exempts T==1 stacks from layer remat; jax.checkpoint
-replays the same ops with the same rngs, so values AND gradients must be
-bit-identical with and without the exemption.
+REMAT_MIN_TIME=2 exempts T==1 stacks from layer remat: values are
+bit-identical (same forward program, same rngs) but gradients agree only
+to ULP level (measured 1.8e-7 rel) — the backward graph differs (replay
+vs stored activations), so XLA fuses/rounds differently.
 """
 
 import jax
@@ -61,7 +64,10 @@ def test_unroll_bit_identical(restore_knobs, L_act, train):
         outs[unroll] = encoder_forward(
             params, x, hp=hp, masks=_masks(hp, L_act),
             attn_rate=jnp.float32(0.1), train=train, rng=rng)
-    assert jnp.array_equal(outs[False], outs[True])
+    # bit-identical today; near-zero tolerance so an XLA upgrade that fuses
+    # across unrolled layers doesn't turn scheduling into a red suite
+    np.testing.assert_allclose(np.asarray(outs[False]), np.asarray(outs[True]),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_unroll_bit_identical_cross(restore_knobs):
@@ -78,7 +84,8 @@ def test_unroll_bit_identical_cross(restore_knobs):
         outs[unroll] = encoder_forward(
             params, x, kv, hp=hp, masks=_masks(hp, L),
             attn_rate=jnp.float32(0.1), train=True, rng=jax.random.PRNGKey(4))
-    assert jnp.array_equal(outs[False], outs[True])
+    np.testing.assert_allclose(np.asarray(outs[False]), np.asarray(outs[True]),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_t1_remat_exemption_identical_grads(restore_knobs):
