@@ -265,3 +265,51 @@ def test_kernel_bf16_tolerance():
     assert out16.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out16, np.float32),
                                np.asarray(out32), rtol=0.05, atol=0.05)
+
+
+def test_trainer_fit_fused_matches_xla():
+    """Full production Trainer epochs under TRUNK_IMPL=pallas (interpret)
+    == TRUNK_IMPL=xla, with all dropout rates 0 (nonzero rates diverge by
+    design: the fused path draws from the hash stream).  This is the e2e
+    gate a default flip must keep green."""
+    from multimodal_transformer_robustness_tpu import ModelSpec
+    from multimodal_transformer_robustness_tpu.data.loaders import (
+        ArrayDataset, BatchIterator)
+    from multimodal_transformer_robustness_tpu.models import init_supernet
+    from multimodal_transformer_robustness_tpu.train import (
+        TrainHParams, Trainer)
+
+    spec = ModelSpec(
+        modality_set=("t", "a"), orig_dimensions=(10, 8), dimension=8,
+        num_heads=2, head_dim=4, layers_single_attn=1, layers_cross_attn=1,
+        layers_self_attn=1, attn_dropout=(0.0, 0.0, 0.0), relu_dropout=0.0,
+        res_dropout=0.0, out_dropout=0.0, embed_dropout=0.0, attn_mask=True,
+        output_dim=1, header_overrides={"t": "rnn"})
+    params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
+
+    def loaders():
+        def ds(seed):
+            r = np.random.default_rng(seed)
+            return ArrayDataset(
+                [r.standard_normal((8, 4, d)).astype(np.float32)
+                 for d in spec.orig_dimensions],
+                r.standard_normal((8, 1)).astype(np.float32),
+                dims=spec.orig_dimensions, seq_len=4)
+        return (BatchIterator(ds(0), 4, shuffle=True, seed=5),
+                BatchIterator(ds(1), 4), BatchIterator(ds(2), 4))
+
+    hp = TrainHParams(batch_size=4, lr=1e-2, optim="SGD", num_epochs=2,
+                      experiment_type="random_sample", criterion="L1Loss",
+                      dataset="mosei_senti", seed=0)
+    saved = (enc_mod.TRUNK_IMPL, enc_mod.TRUNK_INTERPRET)
+    try:
+        curves = {}
+        for impl in ("xla", "pallas"):
+            enc_mod.TRUNK_IMPL = impl
+            enc_mod.TRUNK_INTERPRET = True
+            t = Trainer(spec, jax.tree.map(jnp.copy, params), frozen, hp)
+            curves[impl] = np.asarray(t.fit(*loaders()))
+    finally:
+        enc_mod.TRUNK_IMPL, enc_mod.TRUNK_INTERPRET = saved
+    np.testing.assert_allclose(curves["pallas"], curves["xla"],
+                               rtol=1e-4, atol=1e-5)
