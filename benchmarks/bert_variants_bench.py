@@ -242,8 +242,16 @@ def main(argv=None):
         lambda c, p: _prod(p, c, impl_attr="FFN_IMPL_INT8"))
     inp["pallas_ffn_int8"] = params_q
 
+    compiled = []
     for v in variants:
-        fns[v](jnp.int32(0), inp[v]).block_until_ready()  # compile
+        try:
+            fns[v](jnp.int32(0), inp[v]).block_until_ready()  # compile
+            compiled.append(v)
+        except Exception as e:  # a cell that fails to lower (first real-TPU
+            # Mosaic shot) must not kill the serialized measurement batch
+            print(f"{v}: COMPILE FAILED — {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:200]}", flush=True)
+    variants = compiled
 
     results = {v: [] for v in variants}
     for _ in range(args.rounds):

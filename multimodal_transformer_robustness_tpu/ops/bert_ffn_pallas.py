@@ -52,6 +52,35 @@ def _ln_epilogue(s, g, b, eps: float):
     return ((s.astype(jnp.float32) - mu) * inv) * g + b
 
 
+# XLA's f32 erf rational approximation (xla/hlo/builder/lib/math.cc
+# ErfImpl32): erf(x) = x * P(x^2)/Q(x^2) with x clamped to [-4, 4].  Inlined
+# because Mosaic TPU has no erf/erfc lowering (jax.nn.gelu(approximate=False)
+# routes through ndtr -> erfc and fails to lower in-kernel); this is the
+# same polynomial XLA itself evaluates for lax.erf on f32, so the fused
+# kernels stay within fusion-rounding distance of the unfused gelu.
+_ERF_P = (0.00022905065861350646, 0.0034082910107109506,
+          0.050955695062380861, 0.18520832239976145, 1.128379143519084)
+_ERF_Q = (-1.1791602954361697e-7, 2.3547966471313185e-5,
+          0.0010179625278914885, 0.014070470171167667,
+          0.11098505178285362, 0.49746925110067538, 1.0)
+
+
+def _gelu_erf(x):
+    """Exact-erf gelu, f32 internally, result in ``x.dtype`` like
+    jax.nn.gelu(approximate=False)."""
+    xf = x.astype(jnp.float32)
+    w = jnp.clip(xf * jnp.float32(0.7071067811865476), -4.0, 4.0)
+    w2 = w * w
+    p = jnp.float32(_ERF_P[0])
+    for c in _ERF_P[1:]:
+        p = p * w2 + jnp.float32(c)
+    q = jnp.float32(_ERF_Q[0])
+    for c in _ERF_Q[1:]:
+        q = q * w2 + jnp.float32(c)
+    erf = w * p / q
+    return (xf * 0.5 * (1.0 + erf)).astype(x.dtype)
+
+
 def _qround(xf, eps=1e-8):
     """models/bert._qrows semantics: per-row symmetric int8 with f32 scale."""
     sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), eps) / 127.0
@@ -106,7 +135,7 @@ def _ffn_ln_kernel(x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, g_ref, bb_ref,
     # its f32 accumulation too)
     h1 = jnp.dot(x, w1t_ref[...], preferred_element_type=jnp.float32)
     h1 = (h1 + b1_ref[...]).astype(x.dtype)
-    g1 = jax.nn.gelu(h1, approximate=False)
+    g1 = _gelu_erf(h1)
     y = jnp.dot(g1, w2t_ref[...], preferred_element_type=jnp.float32)
     y = (y + b2_ref[...]).astype(x.dtype)
     out = _ln_epilogue(x + y, g_ref[...], bb_ref[...], eps)
@@ -176,7 +205,7 @@ def _ffn_ln_kernel_q(x_ref, w1qt_ref, w1s_ref, b1_ref, w2qt_ref, w2s_ref,
     acc = jnp.dot(xq, w1qt_ref[...], preferred_element_type=jnp.int32)
     h1 = (acc.astype(jnp.float32) * sx * w1s_ref[...]
           + b1_ref[...]).astype(x.dtype)
-    g1 = jax.nn.gelu(h1, approximate=False)
+    g1 = _gelu_erf(h1)
     gq, sg = _qround(g1.astype(jnp.float32))
     acc2 = jnp.dot(gq, w2qt_ref[...], preferred_element_type=jnp.int32)
     y = (acc2.astype(jnp.float32) * sg * w2s_ref[...]
