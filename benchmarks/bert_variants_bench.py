@@ -160,7 +160,7 @@ def main(argv=None):
     variants = ["transpose", "bqhd_reshape", "bqhd_fusedo", "unrolled",
                 "bf16_softmax", "gelu_tanh", "fused_qkv", "dots_only",
                 "prod_castin", "prod_x2", "pallas_ffn", "pallas_ffn_r256",
-                "prod_int8", "pallas_ffn_int8"]
+                "prod_int8", "pallas_ffn_int8", "flash_attn"]
     fns, inp = {}, {}
 
     for v, knobs in VARIANT_KNOBS.items():
@@ -233,6 +233,62 @@ def main(argv=None):
 
     fns["pallas_ffn"] = jax.jit(lambda c, p: _prod(p, c, impl_attr="FFN_IMPL"))
     inp["pallas_ffn"] = params_f32
+
+    n_heads_g = (cfg.num_heads,)
+    _ln = bert_mod._ln
+
+    def flash_attn(carry, params):
+        """Production path (cast-in + fused Pallas FFN/proj blocks) with the
+        logits/softmax/attn einsum chain replaced by the flash kernel
+        (ops/attention_pallas.py, causal=False, no dropout — the frozen BERT
+        runs eval-mode).  Sizes the attention-segment fusion win; all-ones
+        attention mask (the bench regime), so key-padding is uniform.
+        NOT production-ready: the kernel has no per-sample key-length mask,
+        which real tokenized batches need."""
+        from multimodal_transformer_robustness_tpu.ops.attention_pallas import (
+            flash_attention)
+        p16 = _cast16(params)
+        olds = bert_mod.FFN_IMPL
+        bert_mod.FFN_IMPL = "pallas"
+        try:
+            b, L = ids.shape
+            h = p16["word_emb"].shape[1]
+            dh = h // n_heads_g[0]
+            x = (p16["word_emb"][ids + carry]
+                 + p16["pos_emb"][jnp.arange(L)][None]
+                 + p16["type_emb"][types])
+            x = _ln(x, p16["emb_ln_g"], p16["emb_ln_b"], cfg.eps)
+
+            from multimodal_transformer_robustness_tpu.ops.bert_ffn_pallas import (
+                ffn_ln_block, proj_ln_block)
+
+            def layer(x, lp):
+                def proj(w, bb):
+                    y = x @ w.T + bb
+                    return y.reshape(b, L, n_heads_g[0], dh
+                                     ).transpose(0, 2, 1, 3)
+                q = proj(lp["q_w"], lp["q_b"]) * (1.0 / math.sqrt(dh))
+                k = proj(lp["k_w"], lp["k_b"])
+                v = proj(lp["v_w"], lp["v_b"])
+                attn = flash_attention(q.astype(v.dtype), k, v, causal=False
+                                       ).transpose(0, 2, 1, 3).reshape(b, L, h)
+                x = proj_ln_block(x, attn, lp["o_w"], lp["o_b"], lp["ln1_g"],
+                                  lp["ln1_b"], eps=cfg.eps,
+                                  block_rows=min(bert_mod.FFN_BLOCK_ROWS * 2,
+                                                 512))
+                x = ffn_ln_block(x, lp["fc1_w"], lp["fc1_b"], lp["fc2_w"],
+                                 lp["fc2_b"], lp["ln2_g"], lp["ln2_b"],
+                                 eps=cfg.eps,
+                                 block_rows=bert_mod.FFN_BLOCK_ROWS)
+                return x, None
+
+            x, _ = jax.lax.scan(layer, x, p16["layers"])
+        finally:
+            bert_mod.FFN_IMPL = olds
+        return depyce(x)
+
+    fns["flash_attn"] = jax.jit(flash_attn)
+    inp["flash_attn"] = params_f32
     fns["pallas_ffn_r256"] = jax.jit(
         lambda c, p: _prod(p, c, impl_attr="FFN_IMPL", block_rows=256))
     inp["pallas_ffn_r256"] = params_f32

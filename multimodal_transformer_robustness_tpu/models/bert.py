@@ -30,19 +30,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-FFN_IMPL = "xla"  # "auto" | "pallas" | "xla" — float-weight FFN-block impl.
+FFN_IMPL = "auto"  # "auto" | "pallas" | "xla" — float-weight FFN-block impl.
 #   "auto" resolves to the fused Pallas kernel (ops/bert_ffn_pallas.py) on
-#   TPU for MXU-aligned dims, "xla" elsewhere.  Default stays "xla" until
-#   the kernel's on-chip A/B (benchmarks/bert_variants_bench.py
-#   "pallas_ffn" vs "prod_castin") shows a win — do not flip without a
-#   measurement.
-FFN_IMPL_INT8 = "xla"  # same contract for --bert_int8 quantized weights
-#   (ffn_ln_block_q); gated SEPARATELY so the float kernel can win/flip
-#   without dragging an unvalidated int8 kernel along ("pallas_ffn_int8"
-#   vs "prod_int8" is its own A/B).
+#   TPU for MXU-aligned dims, "xla" elsewhere.  Flipped to "auto" on the
+#   2026-08-18 on-chip A/B (benchmarks/bert_variants_bench.py, B=1024
+#   L=32 4-layer frozen BERT fwd): pallas_ffn_r256 27.20 ms vs
+#   prod_castin 31.49 ms (-13%); dots-only floor 17.80 ms.
+FFN_IMPL_INT8 = "auto"  # same contract for --bert_int8 quantized weights
+#   (ffn_ln_block_q); gated SEPARATELY so each kernel flips on its own
+#   measurement.  Flipped 2026-08-18: pallas_ffn_int8 23.20 ms vs
+#   prod_int8 27.36 ms (-15%) in the same in-process A/B.
 FFN_INTERPRET = False  # tests: run the kernel in interpret mode on CPU
-FFN_BLOCK_ROWS = 128   # kernel row-block; 128 fits VMEM with margin, 256
-#                        halves grid overhead (tunable via the variants bench)
+FFN_BLOCK_ROWS = 256   # kernel row-block; 128 fits VMEM with margin, 256
+#                        halves grid overhead and measured 0.2 ms faster
+#                        (pallas_ffn_r256 27.20 vs pallas_ffn 27.39)
 SCAN_UNROLL = False  # unroll the 4-layer scan so XLA schedules across
 #                      layers; the variants bench "unrolled" cell measures
 #                      it — flip only on a win (costs compile time + code).
