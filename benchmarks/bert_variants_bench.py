@@ -160,7 +160,8 @@ def main(argv=None):
     variants = ["transpose", "bqhd_reshape", "bqhd_fusedo", "unrolled",
                 "bf16_softmax", "gelu_tanh", "fused_qkv", "dots_only",
                 "prod_castin", "prod_x2", "pallas_ffn", "pallas_ffn_r256",
-                "prod_int8", "pallas_ffn_int8", "flash_attn"]
+                "prod_int8", "pallas_ffn_int8", "xla_ffn", "xla_ffn_int8",
+                "flash_attn"]
     fns, inp = {}, {}
 
     for v, knobs in VARIANT_KNOBS.items():
@@ -199,14 +200,18 @@ def main(argv=None):
     fns["dots_only"] = jax.jit(dots_only)
     inp["dots_only"] = params
 
-    def _prod(params, carry, *, impl_attr=None, block_rows=None):
+    def _prod(params, carry, *, impl_attr=None, block_rows=None,
+              impl_value="pallas"):
         """production semantics: f32 frozen params, bf16 boundary cast
         inside the jitted step (mult.py supernet_apply), optionally with a
-        fused-kernel impl flag set for the trace."""
+        fused-kernel impl flag set for the trace.  NOTE since the
+        2026-08-18 flip (FFN_IMPL defaults "auto") the plain prod cells
+        resolve to the Pallas kernels on TPU — the `xla_ffn*` cells force
+        the pre-flip XLA formulation for regression baselines."""
         olds = (bert_mod.FFN_IMPL, bert_mod.FFN_IMPL_INT8,
                 bert_mod.FFN_BLOCK_ROWS)
         if impl_attr:
-            setattr(bert_mod, impl_attr, "pallas")
+            setattr(bert_mod, impl_attr, impl_value)
         if block_rows:
             bert_mod.FFN_BLOCK_ROWS = block_rows
         try:
@@ -297,6 +302,13 @@ def main(argv=None):
     fns["pallas_ffn_int8"] = jax.jit(
         lambda c, p: _prod(p, c, impl_attr="FFN_IMPL_INT8"))
     inp["pallas_ffn_int8"] = params_q
+    fns["xla_ffn"] = jax.jit(
+        lambda c, p: _prod(p, c, impl_attr="FFN_IMPL", impl_value="xla"))
+    inp["xla_ffn"] = params_f32
+    fns["xla_ffn_int8"] = jax.jit(
+        lambda c, p: _prod(p, c, impl_attr="FFN_IMPL_INT8",
+                           impl_value="xla"))
+    inp["xla_ffn_int8"] = params_q
 
     compiled = []
     for v in variants:

@@ -310,3 +310,154 @@ def flash_attention(
         rates = jnp.zeros((bh,), jnp.float32)
     return _flash(q, k, v, seeds, rates, causal, offset, blk_q, blk_k,
                   use_dropout, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Forward-only variant with a per-sample key-padding mask — serves the
+# FROZEN text BERT (models/bert.py), whose attention takes the HuggingFace
+# additive bias ``(1 - mask) * -10000`` (reference src/models2.py BertModel
+# via transformers; our bert_apply:199-200).  No causal rule, no dropout
+# (the BERT runs eval-mode) and no VJP (frozen params + integer data inputs
+# mean autodiff never traverses it).
+# ---------------------------------------------------------------------------
+
+
+def _flash_kpm_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
+                      acc_ref, m_ref, l_ref, *, blk_q: int, blk_k: int,
+                      tk: int):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [blk_q, blk_k]
+    col_ids = ki * blk_k + jax.lax.broadcasted_iota(
+        jnp.int32, (blk_q, blk_k), 1)
+    # per-sample key mask ([1, blk_k], 1 = attend) AND the Tk round-up pad
+    valid = jnp.logical_and(mask_ref[...] > 0, col_ids < tk)
+    logits = jnp.where(valid, logits, NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:, :1] = m_new
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(ki == n_k - 1)
+    def _finalize():
+        l_safe = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("blk_q", "blk_k", "interpret"))
+def flash_attention_masked(
+    q: jnp.ndarray,         # [B, H, Tq, D] — PRE-SCALED
+    k: jnp.ndarray,         # [B, H, Tk, D]
+    v: jnp.ndarray,         # [B, H, Tk, D]
+    key_mask: jnp.ndarray,  # [B, Tk] int, 1 = attend (HF attention_mask)
+    blk_q: int = 256,
+    blk_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention with HuggingFace key-padding-mask semantics.
+
+    Equivalence to the additive-bias path ``softmax(logits + (1-mask)
+    * -10000)`` it replaces:
+
+    * a partially masked column's weight is ``exp(x)`` with ``x < -9000``
+      after the max shift — that underflows to exactly ``0.0`` in f32, the
+      same value the hard ``NEG_INF`` mask produces;
+    * an ALL-zero mask row shifts every logit by the same -10000, which
+      softmax cancels — so it is rewritten to all-ones here (the zero-fill
+      missing-text eval hits this; train/loop.py zero-fills the wordpiece
+      mask).  The additive path pays one rounding of ``logit - 10000``
+      (~1e-4 relative) that this kernel does not, so all-masked rows are
+      equal only to ~1e-4 — the kernel is the more precise of the two.
+
+    Softmax statistics and the p @ V accumulation run in f32 (the XLA path
+    casts the softmax output to bf16 before the V dot under the bf16
+    compute policy, so outputs agree to bf16 rounding there; under f32 the
+    streaming softmax's summation order leaves ~1e-5 formulation noise —
+    tests/test_flash_kpm.py).
+
+    MEASURED at the production BERT shapes (B=1024 L=32, variants bench
+    `flash_attn` cell, 2026-08-18): 52.7 ms vs 27.2 ms for the XLA
+    einsum/softmax path — the 4x key-block padding (blk_k >= 128) and the
+    64 -> 128 head-dim padding drown the fusion win at short sequences, so
+    bert_apply does NOT use this kernel; it remains a library op for
+    long-sequence text (flash wins >= 1.16x at T >= 512 on this chip,
+    BENCH_NOTES "Flash kernel").
+    """
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+
+    blk_q = min(blk_q, max(8, 1 << (tq - 1).bit_length()))
+    blk_k = min(blk_k, max(128, 1 << (tk - 1).bit_length()))
+    d_pad = _cdiv(d, 128) * 128
+    tq_pad = _cdiv(tq, blk_q) * blk_q
+    tk_pad = _cdiv(tk, blk_k) * blk_k
+    n_k = tk_pad // blk_k
+
+    def pad(x, t_pad):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - x.shape[2]),
+                           (0, d_pad - d)))
+
+    qp = pad(q, tq_pad).reshape(b * h, tq_pad, d_pad)
+    kp = pad(k, tk_pad).reshape(b * h, tk_pad, d_pad)
+    vp = pad(v, tk_pad).reshape(b * h, tk_pad, d_pad)
+
+    key_mask = key_mask.astype(jnp.int32)
+    # all-zero mask row == uniform -10000 bias == no bias (softmax shift
+    # invariance); rewrite so the hard mask can't zero the denominator
+    any_key = (jnp.sum(key_mask, axis=1, keepdims=True) > 0)
+    mask_eff = jnp.where(any_key, key_mask, jnp.ones_like(key_mask))
+    mask_eff = jnp.pad(mask_eff, ((0, 0), (0, tk_pad - tk)))
+
+    grid = (b * h, tq_pad // blk_q, n_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_kpm_kernel, blk_q=blk_q, blk_k=blk_k,
+                          tk=tk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d_pad), lambda i, qi, ki: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d_pad), lambda i, qi, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d_pad), lambda i, qi, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            # one mask row per sample, shared across that sample's heads
+            pl.BlockSpec((1, blk_k), lambda i, qi, ki, h=h: (i // h, ki),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, d_pad),
+                               lambda i, qi, ki: (i, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, d_pad), jnp.float32),   # acc
+            pltpu.VMEM((blk_q, 128), jnp.float32),     # running max
+            pltpu.VMEM((blk_q, 128), jnp.float32),     # running denom
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(qp, kp, vp, mask_eff)
+    return out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d]
