@@ -140,6 +140,8 @@ def main(argv=None):
     p.add_argument("--layers", type=int, default=4)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--only", type=str, default=None,
+                   help="comma-separated cell names to run (default: all)")
     args = p.parse_args(argv)
 
     utils.enable_compilation_cache()
@@ -162,6 +164,12 @@ def main(argv=None):
                 "prod_castin", "prod_x2", "pallas_ffn", "pallas_ffn_r256",
                 "prod_int8", "pallas_ffn_int8", "xla_ffn", "xla_ffn_int8",
                 "flash_attn"]
+    if args.only:
+        keep = [s.strip() for s in args.only.split(",")]
+        unknown = set(keep) - set(variants)
+        if unknown:
+            raise SystemExit(f"--only: unknown cells {sorted(unknown)}")
+        variants = [v for v in variants if v in keep]
     fns, inp = {}, {}
 
     for v, knobs in VARIANT_KNOBS.items():

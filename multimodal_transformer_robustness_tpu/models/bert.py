@@ -40,7 +40,17 @@ FFN_IMPL_INT8 = "auto"  # same contract for --bert_int8 quantized weights
 #   (ffn_ln_block_q); gated SEPARATELY so each kernel flips on its own
 #   measurement.  Flipped 2026-08-18: pallas_ffn_int8 23.20 ms vs
 #   prod_int8 27.36 ms (-15%) in the same in-process A/B.
-FFN_INTERPRET = False  # tests: run the kernel in interpret mode on CPU
+ATTN_IMPL = "xla"  # "pallas" | "xla" — frozen-BERT attention impl.
+#   "pallas" = flash_attention_masked (ops/attention_pallas.py, fwd-only
+#   key-padding-mask flash kernel).  MEASURED A LOSS at BERT shapes
+#   (bert_variants_bench `flash_attn` cell, 2026-08-18): B=1024 L=32
+#   52.7 ms vs 27.2 XLA; B=128 L=256 28.6 vs 20.2 — the 64 -> 128
+#   head-dim pad plus per-(b,h)-program overhead dominate at h=768/12
+#   heads, unlike the trunk shapes where the flash formulation wins at
+#   T >= 512.  Default stays "xla" at every measured shape; the knob
+#   exists so O(T^2) logits memory can be traded away for very long text
+#   (T >~ 2k would not fit the [B,H,T,T] f32 logits tensor).
+FFN_INTERPRET = False  # tests: run the kernels in interpret mode on CPU
 FFN_BLOCK_ROWS = 256   # kernel row-block; 128 fits VMEM with margin, 256
 #                        halves grid overhead and measured 0.2 ms faster
 #                        (pallas_ffn_r256 27.20 vs pallas_ffn 27.39)
@@ -231,13 +241,24 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
         q = proj(lp["q_w"], lp["q_b"])
         k = proj(lp["k_w"], lp["k_b"])
         v = proj(lp["v_w"], lp["v_b"])
-        logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                             preferred_element_type=jnp.float32)
-                  / math.sqrt(dh) + bias)
-        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)  # f32 softmax,
-        #                                     cast back (keeps the scan carry
-        #                                     dtype stable under bf16 policy)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, L, h)
+        if ATTN_IMPL == "pallas":
+            # fused flash attention with the key-padding mask regenerated
+            # in-kernel (no [B,1,1,L] bias tensor); opt-in for long text —
+            # see the ATTN_IMPL note above for the measured shape regime
+            from ..ops.attention_pallas import flash_attention_masked
+            attn = flash_attention_masked(
+                (q * (1.0 / math.sqrt(dh))).transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                attention_mask, interpret=FFN_INTERPRET,
+            ).transpose(0, 2, 1, 3).reshape(b, L, h)
+        else:
+            logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                 preferred_element_type=jnp.float32)
+                      / math.sqrt(dh) + bias)
+            w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)  # f32
+            #                         softmax, cast back (keeps the scan
+            #                         carry dtype stable under bf16 policy)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, L, h)
         if (not isinstance(lp["o_w"], dict)
                 and _ffn_resolved_impl(h, h, False) == "pallas"):
             # fused o-proj + residual + LN1 (ops/bert_ffn_pallas.py)

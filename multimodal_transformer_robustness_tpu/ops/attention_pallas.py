@@ -398,13 +398,13 @@ def flash_attention_masked(
     streaming softmax's summation order leaves ~1e-5 formulation noise —
     tests/test_flash_kpm.py).
 
-    MEASURED at the production BERT shapes (B=1024 L=32, variants bench
-    `flash_attn` cell, 2026-08-18): 52.7 ms vs 27.2 ms for the XLA
-    einsum/softmax path — the 4x key-block padding (blk_k >= 128) and the
-    64 -> 128 head-dim padding drown the fusion win at short sequences, so
-    bert_apply does NOT use this kernel; it remains a library op for
-    long-sequence text (flash wins >= 1.16x at T >= 512 on this chip,
-    BENCH_NOTES "Flash kernel").
+    MEASURED at BERT shapes (variants bench `flash_attn` cell,
+    2026-08-18): B=1024 L=32 52.7 ms vs 27.2 ms XLA; B=128 L=256 28.6 vs
+    20.2 — the 64 -> 128 head-dim padding and per-(b,h) program overhead
+    drown the fusion win at BERT dims (unlike the trunk shapes, where the
+    flash formulation wins at T >= 512).  bert_apply therefore defaults to
+    the XLA path (models/bert.ATTN_IMPL); this kernel's value there is the
+    O(T) memory footprint for very long text, not speed.
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
