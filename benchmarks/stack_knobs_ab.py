@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--cached_text", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
     args = ap.parse_args()
 
     import traceback
@@ -61,7 +63,8 @@ def main():
         try:
             res = bench.main(batch_size=args.batch, steps=args.steps,
                              cached_text=args.cached_text, emit_json=False,
-                             repeats=args.repeats)
+                             repeats=args.repeats,
+                             compute_dtype=args.dtype)
             print(f"{name}: {res}", flush=True)
         except Exception:
             # a cell that fails to compile (first real-TPU Mosaic shot for
