@@ -163,7 +163,8 @@ def main(argv=None):
                 "bf16_softmax", "gelu_tanh", "fused_qkv", "dots_only",
                 "prod_castin", "prod_x2", "pallas_ffn", "pallas_ffn_r256",
                 "prod_int8", "pallas_ffn_int8", "xla_ffn", "xla_ffn_int8",
-                "flash_attn"]
+                "flash_attn", "dense_attn", "dense_attn_u8",
+                "dense_attn_u32", "dense_attn_int8"]
     if args.only:
         keep = [s.strip() for s in args.only.split(",")]
         unknown = set(keep) - set(variants)
@@ -209,25 +210,33 @@ def main(argv=None):
     inp["dots_only"] = params
 
     def _prod(params, carry, *, impl_attr=None, block_rows=None,
-              impl_value="pallas"):
+              impl_value="pallas", extra=None):
         """production semantics: f32 frozen params, bf16 boundary cast
         inside the jitted step (mult.py supernet_apply), optionally with a
         fused-kernel impl flag set for the trace.  NOTE since the
         2026-08-18 flip (FFN_IMPL defaults "auto") the plain prod cells
         resolve to the Pallas kernels on TPU — the `xla_ffn*` cells force
-        the pre-flip XLA formulation for regression baselines."""
+        the pre-flip XLA formulation for regression baselines.  ``extra``:
+        {module attr: value} overrides for the trace (the dense-attn
+        cells)."""
         olds = (bert_mod.FFN_IMPL, bert_mod.FFN_IMPL_INT8,
                 bert_mod.FFN_BLOCK_ROWS)
+        extra = extra or {}
+        extra_olds = {a: getattr(bert_mod, a) for a in extra}
         if impl_attr:
             setattr(bert_mod, impl_attr, impl_value)
         if block_rows:
             bert_mod.FFN_BLOCK_ROWS = block_rows
+        for a, val in extra.items():
+            setattr(bert_mod, a, val)
         try:
             out = bert_mod.bert_apply(_cast16(params), ids + carry, mask,
                                       types, cfg)
         finally:
             (bert_mod.FFN_IMPL, bert_mod.FFN_IMPL_INT8,
              bert_mod.FFN_BLOCK_ROWS) = olds
+            for a, val in extra_olds.items():
+                setattr(bert_mod, a, val)
         return depyce(out)
 
     fns["prod_castin"] = jax.jit(lambda c, p: _prod(p, c))
@@ -317,6 +326,18 @@ def main(argv=None):
         lambda c, p: _prod(p, c, impl_attr="FFN_IMPL_INT8",
                            impl_value="xla"))
     inp["xla_ffn_int8"] = params_q
+    # dense block-diag attention cells (ops/bert_attn_pallas.py):
+    # production path with the einsum/softmax chain swapped for the fused
+    # kernel, at three units-per-block sizes (None = the ~512-row default)
+    for cell, upb in (("dense_attn", None), ("dense_attn_u8", 8),
+                      ("dense_attn_u32", 32)):
+        fns[cell] = jax.jit(
+            lambda c, p, upb=upb: _prod(
+                p, c, extra={"ATTN_IMPL": "dense", "ATTN_UPB": upb}))
+        inp[cell] = params_f32
+    fns["dense_attn_int8"] = jax.jit(
+        lambda c, p: _prod(p, c, extra={"ATTN_IMPL": "dense"}))
+    inp["dense_attn_int8"] = params_q
 
     compiled = []
     for v in variants:

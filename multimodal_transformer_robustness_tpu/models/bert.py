@@ -40,16 +40,25 @@ FFN_IMPL_INT8 = "auto"  # same contract for --bert_int8 quantized weights
 #   (ffn_ln_block_q); gated SEPARATELY so each kernel flips on its own
 #   measurement.  Flipped 2026-08-18: pallas_ffn_int8 23.20 ms vs
 #   prod_int8 27.36 ms (-15%) in the same in-process A/B.
-ATTN_IMPL = "xla"  # "pallas" | "xla" — frozen-BERT attention impl.
+ATTN_IMPL = "xla"  # "auto" | "dense" | "pallas" | "xla" — frozen-BERT
+#   attention impl.
+#   "dense" = dense_attention_blockdiag (ops/bert_attn_pallas.py): packs
+#   (batch, head) units into full-width MXU tiles and keeps the whole
+#   logits/softmax in VMEM — built for the production SHORT-L regime
+#   (L<=128) where flash loses.  "auto" resolves to "dense" on TPU when
+#   the shape gate below passes, else "xla".  Default-off pending the
+#   on-chip A/B (bert_variants_bench `dense_attn*` cells) per the repo's
+#   flip protocol.
 #   "pallas" = flash_attention_masked (ops/attention_pallas.py, fwd-only
 #   key-padding-mask flash kernel).  MEASURED A LOSS at BERT shapes
 #   (bert_variants_bench `flash_attn` cell, 2026-08-18): B=1024 L=32
 #   52.7 ms vs 27.2 XLA; B=128 L=256 28.6 vs 20.2 — the 64 -> 128
 #   head-dim pad plus per-(b,h)-program overhead dominate at h=768/12
 #   heads, unlike the trunk shapes where the flash formulation wins at
-#   T >= 512.  Default stays "xla" at every measured shape; the knob
-#   exists so O(T^2) logits memory can be traded away for very long text
-#   (T >~ 2k would not fit the [B,H,T,T] f32 logits tensor).
+#   T >= 512.  The knob exists so O(T^2) logits memory can be traded away
+#   for very long text (T >~ 2k would not fit the [B,H,T,T] f32 logits).
+ATTN_UPB = None    # dense-attn units per grid program (None = ~512 rows,
+#                    ops/bert_attn_pallas.default_units_per_block)
 FFN_INTERPRET = False  # tests: run the kernels in interpret mode on CPU
 FFN_BLOCK_ROWS = 256   # kernel row-block; 128 fits VMEM with margin, 256
 #                        halves grid overhead and measured 0.2 ms faster
@@ -57,6 +66,15 @@ FFN_BLOCK_ROWS = 256   # kernel row-block; 128 fits VMEM with margin, 256
 SCAN_UNROLL = False  # unroll the 4-layer scan so XLA schedules across
 #                      layers; the variants bench "unrolled" cell measures
 #                      it — flip only on a win (costs compile time + code).
+
+
+def _attn_resolved_impl(L: int, dh: int) -> str:
+    """Shape gate for the dense block-diag kernel: short sequences only
+    (its S tile is [UPB*L, UPB*L]) with sublane-aligned head dim."""
+    if ATTN_IMPL == "auto":
+        on_tpu = jax.default_backend() == "tpu" or FFN_INTERPRET
+        return ("dense" if on_tpu and L <= 128 and dh % 8 == 0 else "xla")
+    return ATTN_IMPL
 
 
 def _ffn_resolved_impl(h: int, ffn: int, quantized: bool) -> str:
@@ -241,7 +259,15 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
         q = proj(lp["q_w"], lp["q_b"])
         k = proj(lp["k_w"], lp["k_b"])
         v = proj(lp["v_w"], lp["v_b"])
-        if ATTN_IMPL == "pallas":
+        attn_impl = _attn_resolved_impl(L, dh)
+        if attn_impl == "dense":
+            # dense block-diag kernel: whole logits/softmax in VMEM, one
+            # full-width MXU dot per side (ops/bert_attn_pallas.py)
+            from ..ops.bert_attn_pallas import dense_attention_blockdiag
+            attn = dense_attention_blockdiag(
+                q, k, v, attention_mask, units_per_block=ATTN_UPB,
+                interpret=FFN_INTERPRET)
+        elif attn_impl == "pallas":
             # fused flash attention with the key-padding mask regenerated
             # in-kernel (no [B,1,1,L] bias tensor); opt-in for long text —
             # see the ATTN_IMPL note above for the measured shape regime

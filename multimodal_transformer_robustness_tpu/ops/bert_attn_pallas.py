@@ -1,0 +1,139 @@
+"""Dense block-diagonal attention kernel for the short-sequence frozen BERT.
+
+The frozen text header runs BERT at L≈32 wordpieces (run.sh tokenizes to
+32; cli/realtime buckets to powers of two).  At these shapes the flash
+formulation LOSES (measured 52.7 ms vs 27.2 XLA at B=1024 L=32 — the
+64→128 head-dim pad plus per-(b,h) program overhead, see
+models/bert.ATTN_IMPL), while the XLA einsum path materializes the
+[B, H, L, L] f32 logits in HBM (50 MB/layer at B=1024) and round-trips
+them through the bias/softmax/cast fusions — the attention segment is most
+of the measured 9.4 ms/fwd gap between production and the matmul-only
+floor (BENCH_NOTES "BERT variants A/B").
+
+This kernel packs UPB (batch, head) units of [L, dh] rows into one
+[UPB*L, dh] block and computes, per grid program, entirely in VMEM:
+
+    S   = (Q @ K^T) / sqrt(dh)            # ONE [UPB*L, UPB*L] MXU dot
+    S  += key-padding bias  (HF additive (1-mask) * -10000 semantics)
+    S   = -inf outside the unit block-diagonal
+    P   = softmax_f32(S)                   # cross-unit weights EXACTLY 0
+    out = P @ V                            # second MXU dot
+
+The cross-unit logits are wasted FLOPs (UPB x the minimal attention
+FLOPs — which are <2% of the layer's projection FLOPs, so the waste is
+noise) but they buy full-width MXU tiles (the per-unit [L,dh]@[dh,L] dots
+XLA dispatches are <10% MXU utilization at L=32, dh=64) and zero HBM
+logits traffic.  Cross-unit softmax weights are exactly ``0.0`` (``exp(-inf
+- m) == 0`` with a finite in-unit row max), and adding exact zeros cannot
+perturb an f32 accumulation, so ``P @ V`` over the packed rows equals the
+per-unit contraction.
+
+Numerics replicate models/bert.bert_apply's XLA composition (which itself
+matches the reference's frozen HF BertSelfAttention, torch softmax over
+QK^T/sqrt(d) + additive mask bias — src/dynamic_models2.py:42-55): f32
+logits/softmax, probabilities cast to the compute dtype before the V dot.
+Equivalence is pinned by tests/test_bert_attn_pallas.py.
+
+Forward-only by design: the text BERT is frozen (models/mult.py stops
+gradients), so no VJP is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def default_units_per_block(L: int) -> int:
+    """~512 packed rows per program (S is then ≤[512,512] f32 = 1 MB VMEM),
+    rounded up so UPB*L is sublane-aligned (a multiple of 8 rows)."""
+    upb = max(1, 512 // L)
+    g = math.gcd(L, 8)
+    step = 8 // g
+    return _cdiv(upb, step) * step
+
+
+def _dense_attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                       L: int, upb: int, dh: int):
+    q = q_ref[...]                                   # [upb*L, dh]
+    k = k_ref[...]
+    v = v_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)         # [upb*L, upb*L] f32
+    # same op order as the XLA path: /sqrt(dh), then the additive HF bias
+    s = s / jnp.float32(math.sqrt(dh)) + bias_ref[...]
+    n = upb * L
+    ru = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // L
+    cu = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // L
+    s = jnp.where(ru == cu, s, -jnp.inf)
+    # jax.nn.softmax in f32; every row's in-unit columns are finite (padded
+    # keys carry the finite -10000 bias), so the max and denominator are
+    # finite and the -inf cross-unit entries exp to exactly 0.0
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("units_per_block", "interpret"))
+def dense_attention_blockdiag(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                              key_mask: jnp.ndarray, *,
+                              units_per_block: int | None = None,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Multi-head attention with HF key-padding-bias semantics, fused.
+
+    q/k/v: [B, L, H, dh] (bert_apply's projection layout, UNscaled — the
+    1/sqrt(dh) happens in-kernel like the XLA path); key_mask: [B, L]
+    (1 = attend).  Returns [B, L, H*dh] in q's dtype.
+    """
+    B, L, H, dh = q.shape
+    upb = units_per_block or default_units_per_block(L)
+    units = B * H
+    n_blocks = _cdiv(units, upb)
+    pad_units = n_blocks * upb - units
+
+    def to_units(a):
+        rows = a.transpose(0, 2, 1, 3).reshape(units * L, dh)
+        if pad_units:
+            rows = jnp.pad(rows, ((0, pad_units * L), (0, 0)))
+        return rows
+
+    qu, ku, vu = to_units(q), to_units(k), to_units(v)
+    # per-key additive bias, one row per unit (padded units: all keys
+    # biased -10000 -> a uniform softmax over zero V rows -> garbage rows
+    # that are sliced off; never NaN)
+    bias = (1.0 - key_mask.astype(jnp.float32)) * -10000.0       # [B, L]
+    bias_u = jnp.repeat(bias, H, axis=0)                         # [B*H, L]
+    if pad_units:
+        bias_u = jnp.pad(bias_u, ((0, pad_units), (0, 0)))
+    bias_rows = bias_u.reshape(n_blocks, upb * L)
+
+    rows_blk = upb * L
+    out = pl.pallas_call(
+        functools.partial(_dense_attn_kernel, L=L, upb=upb, dh=dh),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((rows_blk, dh), lambda i: (i, 0))] * 3
+        + [pl.BlockSpec((1, rows_blk), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((rows_blk, dh), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * rows_blk, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(qu, ku, vu, bias_rows)
+    out = out[:units * L].reshape(B, H, L, dh)
+    return out.transpose(0, 2, 1, 3).reshape(B, L, H * dh)
