@@ -164,7 +164,8 @@ def main(argv=None):
                 "prod_castin", "prod_x2", "pallas_ffn", "pallas_ffn_r256",
                 "prod_int8", "pallas_ffn_int8", "xla_ffn", "xla_ffn_int8",
                 "flash_attn", "dense_attn", "dense_attn_u8",
-                "dense_attn_u32", "dense_attn_int8"]
+                "dense_attn_u32", "dense_attn_int8", "attn_fused",
+                "attn_fused_b8", "attn_fused_b4", "attn_fused_b12"]
     if args.only:
         keep = [s.strip() for s in args.only.split(",")]
         unknown = set(keep) - set(variants)
@@ -338,6 +339,14 @@ def main(argv=None):
     fns["dense_attn_int8"] = jax.jit(
         lambda c, p: _prod(p, c, extra={"ATTN_IMPL": "dense"}))
     inp["dense_attn_int8"] = params_q
+    # stage 2: whole attention block (q/k/v/o + attention + LN1) in one
+    # kernel, at two item-block sizes
+    for cell, bi in (("attn_fused", None), ("attn_fused_b8", 8),
+                     ("attn_fused_b4", 4), ("attn_fused_b12", 12)):
+        fns[cell] = jax.jit(
+            lambda c, p, bi=bi: _prod(
+                p, c, extra={"ATTN_IMPL": "fused", "ATTN_UPB": bi}))
+        inp[cell] = params_f32
 
     compiled = []
     for v in variants:

@@ -40,15 +40,22 @@ FFN_IMPL_INT8 = "auto"  # same contract for --bert_int8 quantized weights
 #   (ffn_ln_block_q); gated SEPARATELY so each kernel flips on its own
 #   measurement.  Flipped 2026-08-18: pallas_ffn_int8 23.20 ms vs
 #   prod_int8 27.36 ms (-15%) in the same in-process A/B.
-ATTN_IMPL = "xla"  # "auto" | "dense" | "pallas" | "xla" — frozen-BERT
-#   attention impl.
+ATTN_IMPL = "auto"  # "auto" | "fused" | "dense" | "pallas" | "xla" —
+#   frozen-BERT attention impl.
+#   "fused" = attention_block_fused (ops/bert_attn_pallas.py stage 2): the
+#   ENTIRE BertSelfAttention+BertSelfOutput block (q/k/v/o dots + per-head
+#   block-diag attention + residual + LN1) in one pallas_call, natural
+#   layout (no transposes, no q/k/v HBM round-trips).  Staged default-off
+#   pending the on-chip A/B (`attn_fused` cell).
 #   "dense" = dense_attention_blockdiag (ops/bert_attn_pallas.py): packs
 #   (batch, head) units into full-width MXU tiles and keeps the whole
 #   logits/softmax in VMEM — built for the production SHORT-L regime
 #   (L<=128) where flash loses.  "auto" resolves to "dense" on TPU when
-#   the shape gate below passes, else "xla".  Default-off pending the
-#   on-chip A/B (bert_variants_bench `dense_attn*` cells) per the repo's
-#   flip protocol.
+#   the shape gate below passes AND the layer is float (else "xla").
+#   Flipped to "auto" on the 2026-08-18 on-chip A/B (bert_variants_bench,
+#   B=1024 L=32): dense_attn 23.17 ms vs prod 27.25 (-15%); upb 16 beat
+#   8/32 (24.4/24.5).  The int8 combo MEASURED A LOSS (dense_attn_int8
+#   28.20 vs prod_int8 22.68), so quantized layers keep the XLA einsums.
 #   "pallas" = flash_attention_masked (ops/attention_pallas.py, fwd-only
 #   key-padding-mask flash kernel).  MEASURED A LOSS at BERT shapes
 #   (bert_variants_bench `flash_attn` cell, 2026-08-18): B=1024 L=32
@@ -68,12 +75,15 @@ SCAN_UNROLL = False  # unroll the 4-layer scan so XLA schedules across
 #                      it — flip only on a win (costs compile time + code).
 
 
-def _attn_resolved_impl(L: int, dh: int) -> str:
+def _attn_resolved_impl(L: int, dh: int, quantized: bool = False) -> str:
     """Shape gate for the dense block-diag kernel: short sequences only
-    (its S tile is [UPB*L, UPB*L]) with sublane-aligned head dim."""
+    (its S tile is [UPB*L, UPB*L]) with sublane-aligned head dim, float
+    layers only (--bert_int8 measured a loss under the kernel — see the
+    ATTN_IMPL note)."""
     if ATTN_IMPL == "auto":
         on_tpu = jax.default_backend() == "tpu" or FFN_INTERPRET
-        return ("dense" if on_tpu and L <= 128 and dh % 8 == 0 else "xla")
+        return ("dense" if on_tpu and not quantized and L <= 128
+                and dh % 8 == 0 else "xla")
     return ATTN_IMPL
 
 
@@ -237,6 +247,25 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
                 return _qproj(x_, w, bb)
             return x_ @ w.T + bb
 
+        def _layer_ffn(x2, lp):
+            # Intermediate + Output block (fc1/gelu/fc2/residual/LN2);
+            # shared by the fused-attention early return and the tail
+            quantized = isinstance(lp["fc1_w"], dict)
+            if _ffn_resolved_impl(h, lp["fc1_b"].shape[-1],
+                                  quantized) == "pallas":
+                # fused fc1 -> gelu -> fc2 -> residual -> LN, one VMEM pass
+                # (ops/bert_ffn_pallas.py; forward-only — BERT is frozen)
+                from ..ops.bert_ffn_pallas import ffn_ln_block, ffn_ln_block_q
+                fused = ffn_ln_block_q if quantized else ffn_ln_block
+                return fused(x2, lp["fc1_w"], lp["fc1_b"], lp["fc2_w"],
+                             lp["fc2_b"], lp["ln2_g"], lp["ln2_b"], eps=eps,
+                             interpret=FFN_INTERPRET,
+                             block_rows=FFN_BLOCK_ROWS)
+            ff = jax.nn.gelu(lin(x2, lp["fc1_w"], lp["fc1_b"]),
+                             approximate=False)
+            return _ln(x2 + lin(ff, lp["fc2_w"], lp["fc2_b"]),
+                       lp["ln2_g"], lp["ln2_b"], eps)
+
         if isinstance(lp["q_w"], dict):
             # quantize the shared QKV input ONCE (three dots, one
             # round/cast pass — see _qrows)
@@ -256,10 +285,23 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
                 # of the relayout copies is not causal.
                 return (x @ w.T + bb).reshape(b, L, n_heads, dh)
 
+        attn_impl = _attn_resolved_impl(L, dh,
+                                        quantized=isinstance(lp["q_w"], dict))
+        if attn_impl == "fused":
+            # the whole BertSelfAttention + BertSelfOutput block in ONE
+            # pallas_call (q/k/v/o dots + block-diag attention + residual
+            # + LN1, natural layout — ops/bert_attn_pallas.py stage 2)
+            from ..ops.bert_attn_pallas import attention_block_fused
+            x2 = attention_block_fused(
+                x, attention_mask, lp["q_w"], lp["q_b"], lp["k_w"],
+                lp["k_b"], lp["v_w"], lp["v_b"], lp["o_w"], lp["o_b"],
+                lp["ln1_g"], lp["ln1_b"], n_heads=n_heads, eps=eps,
+                block_items=ATTN_UPB, interpret=FFN_INTERPRET)
+            return _layer_ffn(x2, lp), None
+
         q = proj(lp["q_w"], lp["q_b"])
         k = proj(lp["k_w"], lp["k_b"])
         v = proj(lp["v_w"], lp["v_b"])
-        attn_impl = _attn_resolved_impl(L, dh)
         if attn_impl == "dense":
             # dense block-diag kernel: whole logits/softmax in VMEM, one
             # full-width MXU dot per side (ops/bert_attn_pallas.py)
@@ -294,19 +336,7 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
                               block_rows=min(FFN_BLOCK_ROWS * 2, 512))
         else:
             x = _ln(x + lin(attn, lp["o_w"], lp["o_b"]), lp["ln1_g"], lp["ln1_b"], eps)
-        quantized = isinstance(lp["fc1_w"], dict)
-        if _ffn_resolved_impl(h, lp["fc1_b"].shape[-1], quantized) == "pallas":
-            # fused fc1 -> gelu -> fc2 -> residual -> LN, one VMEM pass
-            # (ops/bert_ffn_pallas.py; forward-only — this BERT is frozen)
-            from ..ops.bert_ffn_pallas import ffn_ln_block, ffn_ln_block_q
-            fused = ffn_ln_block_q if quantized else ffn_ln_block
-            x = fused(x, lp["fc1_w"], lp["fc1_b"], lp["fc2_w"],
-                      lp["fc2_b"], lp["ln2_g"], lp["ln2_b"], eps=eps,
-                      interpret=FFN_INTERPRET, block_rows=FFN_BLOCK_ROWS)
-        else:
-            ff = jax.nn.gelu(lin(x, lp["fc1_w"], lp["fc1_b"]), approximate=False)
-            x = _ln(x + lin(ff, lp["fc2_w"], lp["fc2_b"]), lp["ln2_g"], lp["ln2_b"], eps)
-        return x, None
+        return _layer_ffn(x, lp), None
 
     x, _ = jax.lax.scan(layer, x, params["layers"], unroll=SCAN_UNROLL)
     return x

@@ -48,9 +48,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .bert_ffn_pallas import _ln_epilogue
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def _f32row(a):
+    return a.reshape(1, -1).astype(jnp.float32)
 
 
 def default_units_per_block(L: int) -> int:
@@ -67,12 +73,18 @@ def _dense_attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     q = q_ref[...]                                   # [upb*L, dh]
     k = k_ref[...]
     v = v_ref[...]
+    # NOTE no precision= on these dots: precision=HIGHEST with bf16
+    # operands crashes the Mosaic compiler outright (remote_compile HTTP
+    # 500, bisected 2026-08-18); it is meaningless for bf16 anyway, and
+    # under the f32 test policy the kernel runs in interpret mode where
+    # conftest pins the default matmul precision.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)         # [upb*L, upb*L] f32
+        preferred_element_type=jnp.float32)          # [upb*L, upb*L] f32
     # same op order as the XLA path: /sqrt(dh), then the additive HF bias
-    s = s / jnp.float32(math.sqrt(dh)) + bias_ref[...]
+    # (bias block is sublane-replicated to 8 rows — Mosaic requires >=8-row
+    # blocks — row 0 is the payload)
+    s = s / jnp.float32(math.sqrt(dh)) + bias_ref[0:1, :]
     n = upb * L
     ru = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // L
     cu = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // L
@@ -85,8 +97,7 @@ def _dense_attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
     o = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        preferred_element_type=jnp.float32)
     o_ref[...] = o.astype(o_ref.dtype)
 
 
@@ -121,14 +132,17 @@ def dense_attention_blockdiag(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bias_u = jnp.repeat(bias, H, axis=0)                         # [B*H, L]
     if pad_units:
         bias_u = jnp.pad(bias_u, ((0, pad_units), (0, 0)))
-    bias_rows = bias_u.reshape(n_blocks, upb * L)
+    # one [upb*L] bias row per block, sublane-replicated x8 (Mosaic block
+    # shapes need the second-to-last dim divisible by 8); ~16 KB DMA per
+    # program — noise next to the q/k/v blocks
+    bias_rows = jnp.repeat(bias_u.reshape(n_blocks, upb * L), 8, axis=0)
 
     rows_blk = upb * L
     out = pl.pallas_call(
         functools.partial(_dense_attn_kernel, L=L, upb=upb, dh=dh),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((rows_blk, dh), lambda i: (i, 0))] * 3
-        + [pl.BlockSpec((1, rows_blk), lambda i: (i, 0))],
+        + [pl.BlockSpec((8, rows_blk), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((rows_blk, dh), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_blocks * rows_blk, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -137,3 +151,109 @@ def dense_attention_blockdiag(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(qu, ku, vu, bias_rows)
     out = out[:units * L].reshape(B, H, L, dh)
     return out.transpose(0, 2, 1, 3).reshape(B, L, H * dh)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: the ENTIRE BertSelfAttention + BertSelfOutput block in one kernel.
+#
+# dense_attention_blockdiag still pays, per layer, the three q/k/v HBM
+# round-trips plus four [B, L, H, dh] <-> unit-major relayouts.  This kernel
+# removes all of them: it takes x in its NATURAL [rows, h] layout, computes
+# the q/k/v projections as full-width [R, h] @ [h, h] dots in VMEM, runs the
+# per-head block-diagonal attention with STATIC lane slices of q/k/v (heads
+# are contiguous 64-lane column groups — no transpose anywhere), then the
+# o-proj + residual + LN1 epilogue (absorbing bert_ffn_pallas.proj_ln_block).
+# HBM sees the x block, the grid-invariant weights, and the output block —
+# nothing else.  Units are batch ITEMS here (each program holds BI items x
+# all heads), so the key-padding bias is one row per item.
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_kernel(x_ref, bias_ref, diag_ref, wq_ref, qb_ref, wk_ref,
+                       kb_ref, wv_ref, vb_ref, wo_ref, ob_ref, g_ref, bb_ref,
+                       o_ref, *, L: int, n_heads: int, dh: int, eps: float):
+    x = x_ref[...]                                    # [R, h]
+    # NOTE no precision= on any dot here — precision=HIGHEST with bf16
+    # operands crashes the Mosaic compiler (bisected 2026-08-18)
+    def proj(w_ref, b_ref):
+        y = jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32)
+        return (y + b_ref[...]).astype(x.dtype)
+
+    q = proj(wq_ref, qb_ref)
+    k = proj(wk_ref, kb_ref)
+    v = proj(wv_ref, vb_ref)
+    colbias = bias_ref[0:1, :]                        # [1, R] f32
+    diag = diag_ref[...]                              # [R, R] f32 0/-inf
+    scale = jnp.float32(math.sqrt(dh))
+    parts = []
+    for hd in range(n_heads):                         # static unroll
+        sl = slice(hd * dh, (hd + 1) * dh)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s / scale + colbias + diag
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        parts.append(jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype))
+    attn = jnp.concatenate(parts, axis=1)             # [R, h]
+    y = jnp.dot(attn, wo_ref[...], preferred_element_type=jnp.float32)
+    y = (y + ob_ref[...]).astype(x.dtype)
+    o_ref[...] = _ln_epilogue(x + y, g_ref[...], bb_ref[...],
+                              eps).astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "eps", "block_items",
+                                             "interpret"))
+def attention_block_fused(x: jnp.ndarray, key_mask: jnp.ndarray,
+                          wq, qb, wk, kb, wv, vb, wo, ob, ln_g, ln_b, *,
+                          n_heads: int, eps: float,
+                          block_items: int | None = None,
+                          interpret: bool = False) -> jnp.ndarray:
+    """``LayerNorm(x + o_proj(MHA(x)))`` — HF BertSelfAttention +
+    BertSelfOutput — fused into one pallas_call.
+
+    x: [B, L, h]; key_mask: [B, L] (1 = attend); weights [h, h] in
+    ``x @ w.T`` orientation (HF state-dict layout); biases/LN params [h].
+    Returns [B, L, h] in x's dtype.
+    """
+    B, L, h = x.shape
+    dh = h // n_heads
+    bi = block_items or default_units_per_block(L)
+    n_blocks = _cdiv(B, bi)
+    pad_b = n_blocks * bi - B
+
+    rows = x.reshape(B * L, h)
+    if pad_b:
+        rows = jnp.pad(rows, ((0, pad_b * L), (0, 0)))
+    bias = (1.0 - key_mask.astype(jnp.float32)) * -10000.0       # [B, L]
+    if pad_b:
+        bias = jnp.pad(bias, ((0, pad_b), (0, 0)))
+    R = bi * L
+    bias_rows = jnp.repeat(bias.reshape(n_blocks, R), 8, axis=0)
+    # grid-invariant additive block-diag mask (0 on an item's own LxL
+    # block, -inf across items) — fetched once, lives in VMEM
+    ru = jnp.arange(R)[:, None] // L
+    diag = jnp.where(ru == ru.T, 0.0, -jnp.inf).astype(jnp.float32)
+
+    dt = x.dtype
+    consts = [wq.T.astype(dt), _f32row(qb), wk.T.astype(dt), _f32row(kb),
+              wv.T.astype(dt), _f32row(vb), wo.T.astype(dt), _f32row(ob),
+              _f32row(ln_g), _f32row(ln_b)]
+    out = pl.pallas_call(
+        functools.partial(_attn_block_kernel, L=L, n_heads=n_heads, dh=dh,
+                          eps=eps),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((R, h), lambda i: (i, 0)),
+                  pl.BlockSpec((8, R), lambda i: (i, 0)),
+                  pl.BlockSpec((R, R), lambda i: (0, 0))]
+        + [pl.BlockSpec(c.shape, lambda i: (0, 0)) for c in consts],
+        out_specs=pl.BlockSpec((R, h), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * R, h), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(rows, bias_rows, diag, *consts)
+    return out[:B * L].reshape(B, L, h)

@@ -88,6 +88,72 @@ def test_bert_apply_dense_attn_equals_xla(monkeypatch):
                                atol=1e-5, rtol=1e-5)
 
 
+def _xla_attention_block(x, key_mask, wq, qb, wk, kb, wv, vb, wo, ob,
+                         ln_g, ln_b, n_heads, eps):
+    """bert_apply's unfused attention block: q/k/v proj -> einsum attention
+    -> o-proj -> residual -> LN1."""
+    B, L, h = x.shape
+    dh = h // n_heads
+
+    def proj(w, bb):
+        return (x @ w.T + bb).reshape(B, L, n_heads, dh)
+
+    q, k, v = proj(wq, qb), proj(wk, kb), proj(wv, vb)
+    attn = _xla_attention(q, k, v, key_mask)
+    from multimodal_transformer_robustness_tpu.models.bert import _ln
+    return _ln(x + (attn @ wo.T + ob), ln_g, ln_b, eps)
+
+
+@pytest.mark.parametrize("B,L,heads,h,bi,dtype,tol", [
+    (5, 6, 2, 16, 2, jnp.float32, 1e-5),     # B % bi != 0 -> padded items
+    (4, 8, 4, 32, None, jnp.float32, 1e-5),
+    (3, 4, 2, 16, 8, jnp.bfloat16, 0.05),    # bi > B
+])
+def test_fused_block_matches_xla(B, L, heads, h, bi, dtype, tol):
+    from multimodal_transformer_robustness_tpu.ops.bert_attn_pallas import (
+        attention_block_fused)
+    rng = np.random.default_rng(3)
+    x = _rand(rng, (B, L, h), dtype)
+    ws = [jnp.asarray(rng.normal(size=(h, h)) * 0.1, dtype) for _ in range(4)]
+    bs = [jnp.asarray(rng.normal(size=(h,)) * 0.05, dtype) for _ in range(4)]
+    ln_g = jnp.asarray(rng.normal(size=(h,)) * 0.2 + 1.0, jnp.float32)
+    ln_b = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+    mask = np.ones((B, L), np.int32)
+    for i in range(B):
+        mask[i, rng.integers(1, L + 1):] = 0
+    mask = jnp.asarray(mask)
+    eps = 1e-12
+    ref = _xla_attention_block(x, mask, ws[0], bs[0], ws[1], bs[1], ws[2],
+                               bs[2], ws[3], bs[3], ln_g, ln_b, heads,
+                               eps).astype(jnp.float32)
+    out = attention_block_fused(x, mask, ws[0], bs[0], ws[1], bs[1], ws[2],
+                                bs[2], ws[3], bs[3], ln_g, ln_b,
+                                n_heads=heads, eps=eps, block_items=bi,
+                                interpret=True).astype(jnp.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=tol, rtol=tol)
+
+
+def test_bert_apply_fused_attn_equals_xla(monkeypatch):
+    """Full bert_apply with ATTN_IMPL='fused' (interpret mode) == the XLA
+    path end to end."""
+    cfg = bert_mod.tiny_bert_config(hidden=32, layers=2, heads=4)
+    params = bert_mod.init_bert(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(4)
+    B, L = 5, 9
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, L)), jnp.int32)
+    mask = jnp.asarray((rng.random((B, L)) > 0.3).astype(np.int32))
+    types = jnp.zeros((B, L), jnp.int32)
+    ref = bert_mod.bert_apply(params, ids, mask, types, cfg)
+    monkeypatch.setattr(bert_mod, "ATTN_IMPL", "fused")
+    monkeypatch.setattr(bert_mod, "FFN_INTERPRET", True)
+    monkeypatch.setattr(bert_mod, "FFN_IMPL", "xla")
+    out = bert_mod.bert_apply(params, ids, mask, types, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_bert_apply_auto_gate(monkeypatch):
     """'auto' resolves to dense only under the shape gate (interpret mode
     stands in for TPU here)."""
@@ -96,6 +162,8 @@ def test_bert_apply_auto_gate(monkeypatch):
     assert bert_mod._attn_resolved_impl(32, 64) == "dense"
     assert bert_mod._attn_resolved_impl(256, 64) == "xla"   # long text
     assert bert_mod._attn_resolved_impl(32, 63) == "xla"    # unaligned dh
+    # --bert_int8 layers keep the XLA einsums (dense measured a loss there)
+    assert bert_mod._attn_resolved_impl(32, 64, quantized=True) == "xla"
     monkeypatch.setattr(bert_mod, "FFN_INTERPRET", False)
     # CPU backend: auto stays on XLA
     assert bert_mod._attn_resolved_impl(32, 64) == "xla"
