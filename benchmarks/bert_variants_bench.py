@@ -149,6 +149,7 @@ def main(argv=None):
     params_f32 = bert_mod.init_bert(jax.random.PRNGKey(0), cfg)
     params = _cast16(params_f32)             # pre-cast tree (layout cells)
     params_q = bert_mod.quantize_bert_params(params_f32)
+    params_qf = bert_mod.quantize_bert_params(params_f32, attn=False)
     ids = jnp.zeros((args.batch, args.seq), jnp.int32)
     mask = jnp.ones((args.batch, args.seq), jnp.int32)
     types = jnp.zeros((args.batch, args.seq), jnp.int32)
@@ -165,7 +166,8 @@ def main(argv=None):
                 "prod_int8", "pallas_ffn_int8", "xla_ffn", "xla_ffn_int8",
                 "flash_attn", "dense_attn", "dense_attn_u8",
                 "dense_attn_u32", "dense_attn_int8", "attn_fused",
-                "attn_fused_b8", "attn_fused_b4", "attn_fused_b12"]
+                "attn_fused_b8", "attn_fused_b4", "attn_fused_b12",
+                "attn_fused_b2", "attn_fused_b1", "attn_fused_int8ffn"]
     if args.only:
         keep = [s.strip() for s in args.only.split(",")]
         unknown = set(keep) - set(variants)
@@ -339,10 +341,16 @@ def main(argv=None):
     fns["dense_attn_int8"] = jax.jit(
         lambda c, p: _prod(p, c, extra={"ATTN_IMPL": "dense"}))
     inp["dense_attn_int8"] = params_q
+    # FFN-only int8 + fused float attention: the measured-best --bert_int8
+    # composition candidate (int8 attention dots lost; int8 FFN won)
+    fns["attn_fused_int8ffn"] = jax.jit(
+        lambda c, p: _prod(p, c, extra={"ATTN_IMPL": "auto"}))
+    inp["attn_fused_int8ffn"] = params_qf
     # stage 2: whole attention block (q/k/v/o + attention + LN1) in one
     # kernel, at two item-block sizes
     for cell, bi in (("attn_fused", None), ("attn_fused_b8", 8),
-                     ("attn_fused_b4", 4), ("attn_fused_b12", 12)):
+                     ("attn_fused_b4", 4), ("attn_fused_b12", 12),
+                     ("attn_fused_b2", 2), ("attn_fused_b1", 1)):
         fns[cell] = jax.jit(
             lambda c, p, bi=bi: _prod(
                 p, c, extra={"ATTN_IMPL": "fused", "ATTN_UPB": bi}))

@@ -45,17 +45,19 @@ ATTN_IMPL = "auto"  # "auto" | "fused" | "dense" | "pallas" | "xla" —
 #   "fused" = attention_block_fused (ops/bert_attn_pallas.py stage 2): the
 #   ENTIRE BertSelfAttention+BertSelfOutput block (q/k/v/o dots + per-head
 #   block-diag attention + residual + LN1) in one pallas_call, natural
-#   layout (no transposes, no q/k/v HBM round-trips).  Staged default-off
-#   pending the on-chip A/B (`attn_fused` cell).
+#   layout (no transposes, no q/k/v HBM round-trips).  "auto" resolves to
+#   it for float layers under the shape gate.  Flipped on 2026-08-18:
+#   attn_fused_b4 14.52 ms vs dense 23.1 vs pre-r3 XLA 27.25 — BELOW the
+#   17.8 ms XLA matmul-only floor (it replaces XLA's low-utilization
+#   batched attention einsums with full-width VMEM dots).
 #   "dense" = dense_attention_blockdiag (ops/bert_attn_pallas.py): packs
 #   (batch, head) units into full-width MXU tiles and keeps the whole
 #   logits/softmax in VMEM — built for the production SHORT-L regime
-#   (L<=128) where flash loses.  "auto" resolves to "dense" on TPU when
-#   the shape gate below passes AND the layer is float (else "xla").
-#   Flipped to "auto" on the 2026-08-18 on-chip A/B (bert_variants_bench,
-#   B=1024 L=32): dense_attn 23.17 ms vs prod 27.25 (-15%); upb 16 beat
-#   8/32 (24.4/24.5).  The int8 combo MEASURED A LOSS (dense_attn_int8
-#   28.20 vs prod_int8 22.68), so quantized layers keep the XLA einsums.
+#   (L<=128) where flash loses; measured 23.17 ms vs XLA 27.25 (-15%),
+#   upb 16 optimal — "auto" uses it only for very wide models (h > 1024)
+#   where the fused block's weights would not fit VMEM.  The int8 combo
+#   MEASURED A LOSS (dense_attn_int8 28.20 vs prod_int8 22.68), so
+#   quantized layers keep the XLA einsums under "auto".
 #   "pallas" = flash_attention_masked (ops/attention_pallas.py, fwd-only
 #   key-padding-mask flash kernel).  MEASURED A LOSS at BERT shapes
 #   (bert_variants_bench `flash_attn` cell, 2026-08-18): B=1024 L=32
@@ -64,8 +66,9 @@ ATTN_IMPL = "auto"  # "auto" | "fused" | "dense" | "pallas" | "xla" —
 #   heads, unlike the trunk shapes where the flash formulation wins at
 #   T >= 512.  The knob exists so O(T^2) logits memory can be traded away
 #   for very long text (T >~ 2k would not fit the [B,H,T,T] f32 logits).
-ATTN_UPB = None    # dense-attn units per grid program (None = ~512 rows,
-#                    ops/bert_attn_pallas.default_units_per_block)
+ATTN_UPB = None    # Pallas-attention block size: units per program for
+#                    "dense" (None = ~512 rows) / items per program for
+#                    "fused" (None = ~128 rows, measured optimum)
 FFN_INTERPRET = False  # tests: run the kernels in interpret mode on CPU
 FFN_BLOCK_ROWS = 256   # kernel row-block; 128 fits VMEM with margin, 256
 #                        halves grid overhead and measured 0.2 ms faster
@@ -75,15 +78,20 @@ SCAN_UNROLL = False  # unroll the 4-layer scan so XLA schedules across
 #                      it — flip only on a win (costs compile time + code).
 
 
-def _attn_resolved_impl(L: int, dh: int, quantized: bool = False) -> str:
-    """Shape gate for the dense block-diag kernel: short sequences only
-    (its S tile is [UPB*L, UPB*L]) with sublane-aligned head dim, float
-    layers only (--bert_int8 measured a loss under the kernel — see the
-    ATTN_IMPL note)."""
+def _attn_resolved_impl(L: int, dh: int, quantized: bool = False,
+                        h: int = 0) -> str:
+    """Shape gate for the Pallas attention kernels: short sequences only
+    (their S tiles are [R, R]) with sublane-aligned head dim, float layers
+    only (--bert_int8 measured a loss under the dense kernel — see the
+    ATTN_IMPL note).  "auto" prefers the stage-2 fused block kernel
+    (measured 14.5 ms vs dense 23.1 vs XLA 27.2 at B=1024 L=32); very wide
+    models (h > 1024: >8 MB of per-layer weights in VMEM) fall back to the
+    projection-free dense kernel."""
     if ATTN_IMPL == "auto":
         on_tpu = jax.default_backend() == "tpu" or FFN_INTERPRET
-        return ("dense" if on_tpu and not quantized and L <= 128
-                and dh % 8 == 0 else "xla")
+        if not (on_tpu and not quantized and L <= 128 and dh % 8 == 0):
+            return "xla"
+        return "fused" if (h and h <= 1024) else "dense"
     return ATTN_IMPL
 
 
@@ -147,7 +155,7 @@ def init_bert(rng: jax.Array, cfg: BertConfig) -> dict:
     return params
 
 
-def quantize_bert_params(params: dict) -> dict:
+def quantize_bert_params(params: dict, attn: bool = True) -> dict:
     """Symmetric per-out-channel int8 quantization of the six projection /
     FFN weight matrices per layer (q/k/v/o/fc1/fc2).  Everything else —
     embeddings, LayerNorms, biases, the attention dots themselves — keeps
@@ -163,15 +171,25 @@ def quantize_bert_params(params: dict) -> dict:
 
     Each weight ``w [out, in]`` (stacked ``[L, out, in]``) becomes
     ``{"q": int8, "s": f32 [.., out]}`` with ``w ≈ s[..., None] * q``;
-    :func:`bert_apply` dispatches on the dict structure."""
+    :func:`bert_apply` dispatches on the dict structure.
+
+    ``attn=False`` quantizes only the FFN matrices (fc1/fc2) and leaves
+    q/k/v/o float — that keeps the fused attention-block kernel eligible
+    (the dense/fused kernels measured a LOSS with int8 attention dots,
+    see ATTN_IMPL) while the FFN still takes the int8 MXU rate: the
+    measured-fastest --bert_int8 composition, and the more accurate one
+    (attention error drops out of the bound in tests/test_bert_int8.py).
+    """
     def qw(w):
         s = jnp.max(jnp.abs(w), axis=-1) / 127.0          # [..., out]
         s = jnp.maximum(s, 1e-12)
         q = jnp.clip(jnp.round(w / s[..., None]), -127, 127).astype(jnp.int8)
         return {"q": q, "s": s.astype(jnp.float32)}
 
+    names = (("q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w") if attn
+             else ("fc1_w", "fc2_w"))
     layers = dict(params["layers"])
-    for name in ("q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w"):
+    for name in names:
         layers[name] = qw(jnp.asarray(layers[name], jnp.float32))
     out = dict(params)
     out["layers"] = layers
@@ -285,7 +303,7 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
                 # of the relayout copies is not causal.
                 return (x @ w.T + bb).reshape(b, L, n_heads, dh)
 
-        attn_impl = _attn_resolved_impl(L, dh,
+        attn_impl = _attn_resolved_impl(L, dh, h=h,
                                         quantized=isinstance(lp["q_w"], dict))
         if attn_impl == "fused":
             # the whole BertSelfAttention + BertSelfOutput block in ONE

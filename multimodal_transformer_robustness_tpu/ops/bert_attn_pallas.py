@@ -59,13 +59,22 @@ def _f32row(a):
     return a.reshape(1, -1).astype(jnp.float32)
 
 
-def default_units_per_block(L: int) -> int:
-    """~512 packed rows per program (S is then ≤[512,512] f32 = 1 MB VMEM),
-    rounded up so UPB*L is sublane-aligned (a multiple of 8 rows)."""
-    upb = max(1, 512 // L)
+def default_units_per_block(L: int, target_rows: int = 512) -> int:
+    """~target_rows packed rows per program, rounded up so UPB*L is
+    sublane-aligned (a multiple of 8 rows).  512 measured optimal for
+    dense_attention_blockdiag (upb 16 beat 8/32 at L=32)."""
+    upb = max(1, target_rows // L)
     g = math.gcd(L, 8)
     step = 8 // g
     return _cdiv(upb, step) * step
+
+
+def default_block_items(L: int) -> int:
+    """attention_block_fused block size: 128 rows measured optimal at
+    L=32 (b4 14.52 ms vs b8 14.90 / b2 15.20 / b16 16.19 on-chip
+    2026-08-18 — the VPU work on the [R, R] logits scales with R while
+    the MXU projection dots saturate already at 128 rows)."""
+    return default_units_per_block(L, target_rows=128)
 
 
 def _dense_attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
@@ -221,7 +230,7 @@ def attention_block_fused(x: jnp.ndarray, key_mask: jnp.ndarray,
     """
     B, L, h = x.shape
     dh = h // n_heads
-    bi = block_items or default_units_per_block(L)
+    bi = block_items or default_block_items(L)
     n_blocks = _cdiv(B, bi)
     pad_b = n_blocks * bi - B
 

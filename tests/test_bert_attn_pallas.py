@@ -159,11 +159,15 @@ def test_bert_apply_auto_gate(monkeypatch):
     stands in for TPU here)."""
     monkeypatch.setattr(bert_mod, "ATTN_IMPL", "auto")
     monkeypatch.setattr(bert_mod, "FFN_INTERPRET", True)
-    assert bert_mod._attn_resolved_impl(32, 64) == "dense"
-    assert bert_mod._attn_resolved_impl(256, 64) == "xla"   # long text
-    assert bert_mod._attn_resolved_impl(32, 63) == "xla"    # unaligned dh
+    # production shape -> the stage-2 fused block kernel
+    assert bert_mod._attn_resolved_impl(32, 64, h=768) == "fused"
+    # very wide model -> per-layer weights exceed VMEM -> dense kernel
+    assert bert_mod._attn_resolved_impl(32, 128, h=2048) == "dense"
+    assert bert_mod._attn_resolved_impl(256, 64, h=768) == "xla"  # long text
+    assert bert_mod._attn_resolved_impl(32, 63, h=756) == "xla"   # odd dh
     # --bert_int8 layers keep the XLA einsums (dense measured a loss there)
-    assert bert_mod._attn_resolved_impl(32, 64, quantized=True) == "xla"
+    assert bert_mod._attn_resolved_impl(32, 64, h=768,
+                                        quantized=True) == "xla"
     monkeypatch.setattr(bert_mod, "FFN_INTERPRET", False)
     # CPU backend: auto stays on XLA
     assert bert_mod._attn_resolved_impl(32, 64) == "xla"
