@@ -72,7 +72,10 @@ def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
         from multimodal_transformer_robustness_tpu.models.bert import (
             quantize_bert_params)
 
-        frozen = dict(frozen, bert=quantize_bert_params(frozen["bert"]))
+        # FFN-only (attn=False): the measured-fastest composition —
+        # int8 FFN + fused float attention block (BENCH_NOTES)
+        frozen = dict(frozen, bert=quantize_bert_params(frozen["bert"],
+                                                        attn=False))
 
     B, T, L = batch_size, 50, 32
     rng = np.random.default_rng(0)

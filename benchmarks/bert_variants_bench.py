@@ -167,7 +167,8 @@ def main(argv=None):
                 "flash_attn", "dense_attn", "dense_attn_u8",
                 "dense_attn_u32", "dense_attn_int8", "attn_fused",
                 "attn_fused_b8", "attn_fused_b4", "attn_fused_b12",
-                "attn_fused_b2", "attn_fused_b1", "attn_fused_int8ffn"]
+                "attn_fused_b2", "attn_fused_b1", "attn_fused_int8ffn",
+                "attn_xla"]
     if args.only:
         keep = [s.strip() for s in args.only.split(",")]
         unknown = set(keep) - set(variants)
@@ -341,6 +342,10 @@ def main(argv=None):
     fns["dense_attn_int8"] = jax.jit(
         lambda c, p: _prod(p, c, extra={"ATTN_IMPL": "dense"}))
     inp["dense_attn_int8"] = params_q
+    # regression baseline: pre-kernel XLA einsum attention, FFN kernels on
+    fns["attn_xla"] = jax.jit(
+        lambda c, p: _prod(p, c, extra={"ATTN_IMPL": "xla"}))
+    inp["attn_xla"] = params_f32
     # FFN-only int8 + fused float attention: the measured-best --bert_int8
     # composition candidate (int8 attention dots lost; int8 FFN won)
     fns["attn_fused_int8ffn"] = jax.jit(

@@ -249,7 +249,11 @@ def main(argv=None):
     if args.bert_int8 and not args.cache_text and "bert" in frozen:
         from ..models.bert import quantize_bert_params
 
-        frozen = dict(frozen, bert=quantize_bert_params(frozen["bert"]))
+        # FFN-only quantization (attn=False): keeps the fused Pallas
+        # attention-block kernel eligible — measured 12.5 ms vs 22.6 for
+        # full int8 at the headline shape (BENCH_NOTES), and more accurate
+        frozen = dict(frozen, bert=quantize_bert_params(frozen["bert"],
+                                                        attn=False))
 
     zero_rows = None
     if args.cache_text and "bert" in frozen:

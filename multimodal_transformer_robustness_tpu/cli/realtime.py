@@ -164,8 +164,9 @@ class StreamingPredictor:
             # feature-error bounds in tests/test_bert_int8.py)
             from ..models.bert import quantize_bert_params
 
-            self.frozen = dict(self.frozen,
-                               bert=quantize_bert_params(self.frozen["bert"]))
+            self.frozen = dict(
+                self.frozen, bert=quantize_bert_params(self.frozen["bert"],
+                                                       attn=False))
         if model_path:
             from ..checkpoint import (import_torch_state_dict, load_checkpoint,
                                       load_reference_pickle)

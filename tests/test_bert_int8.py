@@ -66,6 +66,33 @@ def test_quantized_bert_features_track_f32_oracle():
     assert _cosine(got, ref) > 0.995
 
 
+def test_ffn_only_quantization():
+    """attn=False (the production --bert_int8 composition) quantizes only
+    fc1/fc2, leaves the attention projections float, and tracks the f32
+    oracle at least as tightly as full quantization."""
+    cfg = bert_mod.BertConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                              num_heads=4, intermediate_size=256,
+                              max_position=32)
+    params = bert_mod.init_bert(jax.random.PRNGKey(0), cfg)
+    qf = quantize_bert_params(params, attn=False)
+    assert isinstance(qf["layers"]["fc1_w"], dict)
+    assert isinstance(qf["layers"]["fc2_w"], dict)
+    for name in ("q_w", "k_w", "v_w", "o_w"):
+        assert not isinstance(qf["layers"][name], dict)
+
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, 128, (4, 16)), jnp.int32)
+    mask = jnp.asarray((rng.random((4, 16)) > 0.2).astype(np.float32))
+    types = jnp.zeros((4, 16), jnp.int32)
+    ref = bert_mod.bert_apply(params, ids, mask, types, cfg)
+    got_ffn = bert_mod.bert_apply(qf, ids, mask, types, cfg)
+    got_full = bert_mod.bert_apply(quantize_bert_params(params), ids, mask,
+                                   types, cfg)
+    assert np.isfinite(np.asarray(got_ffn)).all()
+    assert _cosine(got_ffn, ref) >= _cosine(got_full, ref) - 1e-6
+    assert _cosine(got_ffn, ref) > 0.997
+
+
 def test_supernet_runs_on_quantized_frozen():
     """End-to-end: text header consumes int8 frozen BERT inside the jitted
     supernet forward; output tracks the unquantized forward."""
