@@ -108,6 +108,14 @@ def _xla_attention_block(x, key_mask, wq, qb, wk, kb, wv, vb, wo, ob,
     (5, 6, 2, 16, 2, jnp.float32, 1e-5),     # B % bi != 0 -> padded items
     (4, 8, 4, 32, None, jnp.float32, 1e-5),
     (3, 4, 2, 16, 8, jnp.bfloat16, 0.05),    # bi > B
+    # real-MOSEI token cap: L=50 -> default bi=4 -> R=200 row blocks (a
+    # multiple of 8 but NOT of the bf16 16-row tile; Mosaic pads).  On-chip
+    # parity verified 2026-08-18 at B in {37, 256}, bf16 rel 5.3e-3 /
+    # f32 4.2e-5 — this cell guards the same logic in interpret mode.
+    (7, 50, 4, 32, None, jnp.float32, 1e-5),
+    # L that leaves R % 16 != 0 even after the sublane round-up (R=136),
+    # odd B; on-chip 2026-08-18: bf16 rel 6.7e-3 / f32 4.2e-5
+    (9, 17, 2, 16, 8, jnp.float32, 1e-5),
 ])
 def test_fused_block_matches_xla(B, L, heads, h, bi, dtype, tol):
     from multimodal_transformer_robustness_tpu.ops.bert_attn_pallas import (
