@@ -358,7 +358,7 @@ def main(argv=None):
                      ("attn_fused_b2", 2), ("attn_fused_b1", 1)):
         fns[cell] = jax.jit(
             lambda c, p, bi=bi: _prod(
-                p, c, extra={"ATTN_IMPL": "fused", "ATTN_UPB": bi}))
+                p, c, extra={"ATTN_IMPL": "fused", "ATTN_BLOCK_ITEMS": bi}))
         inp[cell] = params_f32
 
     compiled = []

@@ -66,9 +66,21 @@ ATTN_IMPL = "auto"  # "auto" | "fused" | "dense" | "pallas" | "xla" —
 #   heads, unlike the trunk shapes where the flash formulation wins at
 #   T >= 512.  The knob exists so O(T^2) logits memory can be traded away
 #   for very long text (T >~ 2k would not fit the [B,H,T,T] f32 logits).
-ATTN_UPB = None    # Pallas-attention block size: units per program for
-#                    "dense" (None = ~512 rows) / items per program for
-#                    "fused" (None = ~128 rows, measured optimum)
+ATTN_UPB = None    # "dense" kernel block size: (batch, head) units per
+#                    program (None = ~512 packed rows, measured optimum)
+ATTN_BLOCK_ITEMS = None  # "fused" kernel block size: batch items per
+#                    program (None = ~128 packed rows, measured optimum).
+#                    Deliberately a SEPARATE knob from ATTN_UPB: a value
+#                    tuned for one kernel means a different row count in
+#                    the other (dense upb=16 ~= 512 rows at L=32; fused
+#                    items=16 would be 4x its measured optimum).
+# Row-block ceiling for the auto gate: 512 packed rows is the largest
+# on-chip-MEASURED geometry (dense upb16 / fused b16 cells, 2026-08-18);
+# beyond it the fused kernel's per-head [R, R] f32 logits + weights
+# approach the ~16 MB scoped-VMEM limit.  default_units_per_block rounds
+# the unit count up for sublane alignment, so odd L in (64, 128] would
+# otherwise inflate to R = 8*L > 1000 rows and fail to compile.
+_ATTN_MAX_ROWS = 512
 FFN_INTERPRET = False  # tests: run the kernels in interpret mode on CPU
 FFN_BLOCK_ROWS = 256   # kernel row-block; 128 fits VMEM with margin, 256
 #                        halves grid overhead and measured 0.2 ms faster
@@ -87,11 +99,27 @@ def _attn_resolved_impl(L: int, dh: int, quantized: bool = False,
     (measured 14.5 ms vs dense 23.1 vs XLA 27.2 at B=1024 L=32); very wide
     models (h > 1024: >8 MB of per-layer weights in VMEM) fall back to the
     projection-free dense kernel."""
+    from ..ops.bert_attn_pallas import (default_block_items,
+                                        default_units_per_block)
+
     if ATTN_IMPL == "auto":
         on_tpu = jax.default_backend() == "tpu" or FFN_INTERPRET
         if not (on_tpu and not quantized and L <= 128 and dh % 8 == 0):
             return "xla"
-        return "fused" if (h and h <= 1024) else "dense"
+        impl = "fused" if (h and h <= 1024) else "dense"
+        # sublane round-up can inflate the default row block far past the
+        # measured geometry (odd L in (64, 128]: R = 8*L rows) — those
+        # shapes would blow the kernels' VMEM budget, so they stay on XLA
+        units = (ATTN_BLOCK_ITEMS or default_block_items(L)) if \
+            impl == "fused" else (ATTN_UPB or default_units_per_block(L))
+        if units * L > _ATTN_MAX_ROWS:
+            return "xla"
+        return impl
+    if ATTN_IMPL == "fused" and quantized:
+        # attention_block_fused has no int8 dot path (the int8 attention
+        # combo measured a LOSS, so one was never built): a forced "fused"
+        # on a quantized layer falls back rather than tracing dict weights
+        return "xla"
     return ATTN_IMPL
 
 
@@ -314,7 +342,7 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
                 x, attention_mask, lp["q_w"], lp["q_b"], lp["k_w"],
                 lp["k_b"], lp["v_w"], lp["v_b"], lp["o_w"], lp["o_b"],
                 lp["ln1_g"], lp["ln1_b"], n_heads=n_heads, eps=eps,
-                block_items=ATTN_UPB, interpret=FFN_INTERPRET)
+                block_items=ATTN_BLOCK_ITEMS, interpret=FFN_INTERPRET)
             return _layer_ffn(x2, lp), None
 
         q = proj(lp["q_w"], lp["q_b"])

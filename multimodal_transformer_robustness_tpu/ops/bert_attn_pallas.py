@@ -134,9 +134,9 @@ def dense_attention_blockdiag(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return rows
 
     qu, ku, vu = to_units(q), to_units(k), to_units(v)
-    # per-key additive bias, one row per unit (padded units: all keys
-    # biased -10000 -> a uniform softmax over zero V rows -> garbage rows
-    # that are sliced off; never NaN)
+    # per-key additive bias, one row per unit (padded units get ZERO-filled
+    # bias rows from jnp.pad -> a uniform softmax over zero V rows ->
+    # finite garbage rows that are sliced off; never NaN)
     bias = (1.0 - key_mask.astype(jnp.float32)) * -10000.0       # [B, L]
     bias_u = jnp.repeat(bias, H, axis=0)                         # [B*H, L]
     if pad_units:

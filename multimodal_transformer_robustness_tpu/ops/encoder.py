@@ -224,8 +224,7 @@ def _layer_forward(
     impl = "flash" if hp.attn_impl == "flash" else "xla"
     kw = {}
     if impl == "flash":
-        tq = x.shape[1]
-        tk = x_k.shape[1] if x_k is not None else tq
+        # tq/tk computed above for the fused-trunk gate
         kw = {"impl": "flash",
               "causal_offset": (1 + abs(tk - tq)) if hp.attn_mask else None,
               "attn_bias": None,

@@ -233,7 +233,10 @@ def _scalar(a, dtype):
 
 
 def _const_specs(consts):
-    return [pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim) for c in consts]
+    # bind ndim per-spec: a bare closure over the loop variable would give
+    # every index_map the LAST const's rank
+    return [pl.BlockSpec(c.shape, lambda i, n=c.ndim: (0,) * n)
+            for c in consts]
 
 
 def _pad_rows(arr, padded):

@@ -176,6 +176,22 @@ def test_bert_apply_auto_gate(monkeypatch):
     # --bert_int8 layers keep the XLA einsums (dense measured a loss there)
     assert bert_mod._attn_resolved_impl(32, 64, h=768,
                                         quantized=True) == "xla"
+    # odd L in (64, 128]: the sublane round-up would inflate the default
+    # block to R = 8*L > 1000 rows (past the measured VMEM-safe geometry)
+    # — the gate must keep such shapes on XLA instead of failing to compile
+    assert bert_mod._attn_resolved_impl(127, 64, h=768) == "xla"
+    assert bert_mod._attn_resolved_impl(127, 64, h=2048) == "xla"
+    # an explicit small block override re-admits the same L
+    monkeypatch.setattr(bert_mod, "ATTN_BLOCK_ITEMS", 2)
+    assert bert_mod._attn_resolved_impl(127, 64, h=768) == "fused"
+    monkeypatch.setattr(bert_mod, "ATTN_BLOCK_ITEMS", None)
+    # forced 'fused' on an int8-quantized layer falls back (the fused
+    # kernel has no int8 dot path; dict weights would fail at trace time)
+    monkeypatch.setattr(bert_mod, "ATTN_IMPL", "fused")
+    assert bert_mod._attn_resolved_impl(32, 64, h=768,
+                                        quantized=True) == "xla"
+    assert bert_mod._attn_resolved_impl(32, 64, h=768) == "fused"
+    monkeypatch.setattr(bert_mod, "ATTN_IMPL", "auto")
     monkeypatch.setattr(bert_mod, "FFN_INTERPRET", False)
     # CPU backend: auto stays on XLA
     assert bert_mod._attn_resolved_impl(32, 64) == "xla"
