@@ -68,6 +68,13 @@ def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
     spec = dataclasses.replace(_mosei_spec(), compute_dtype=compute_dtype)
     bert_cfg = BertConfig(num_layers=bert_layers)
     params, frozen = init_supernet(jax.random.PRNGKey(0), spec, bert_cfg=bert_cfg)
+    if bert_int8 and cached_text:
+        # same contract as cli/main.py: the cached step contains no BERT,
+        # so quantization would only corrupt the precomputed features while
+        # measuring nothing int8-related
+        print("--bert_int8 ignored with --cached_text (the cached step "
+              "runs no BERT)", file=sys.stderr)
+        bert_int8 = False
     if bert_int8 and "bert" in frozen:
         from multimodal_transformer_robustness_tpu.models.bert import (
             quantize_bert_params)

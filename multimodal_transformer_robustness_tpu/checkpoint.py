@@ -66,6 +66,9 @@ def save_training_state(path: str, trainer) -> None:
     path = os.path.abspath(path)
     ocp.PyTreeCheckpointer().save(path, {"params": trainer.params, **arrays},
                                   force=True)
+    # the restore side builds its template from this list — never from a
+    # try/except probe that could mask a real restore error
+    meta = dict(meta, saved_keys=sorted(arrays))
     with open(path + ".train.json", "w") as f:
         json.dump(meta, f)
 
@@ -85,6 +88,8 @@ def restore_training_state(path: str, trainer) -> int:
     from .masks import build_masks
 
     path = os.path.abspath(path)
+    with open(path + ".train.json") as f:
+        meta = json.load(f)
     template = jax.tree.map(np.asarray,
                             {"params": trainer.params,
                              "opt_state": trainer.opt_state,
@@ -92,15 +97,19 @@ def restore_training_state(path: str, trainer) -> int:
                              "carry_masks": build_masks(
                                  trainer.spec,
                                  full_active_config(trainer.spec))})
-    try:
-        tree = ocp.PyTreeCheckpointer().restore(path, item=template)
-    except Exception:
-        # checkpoint predates the carried-mask state (saved before the
-        # test_single resume fix): restore without it
-        template.pop("carry_masks")
-        tree = ocp.PyTreeCheckpointer().restore(path, item=template)
-    with open(path + ".train.json") as f:
-        meta = json.load(f)
+    # which non-param keys the checkpoint holds: the meta manifest
+    # (current format), else orbax's own tree metadata for checkpoints
+    # saved before the manifest existed — NOT a bare try/except, which
+    # would both mask real restore errors (I/O, opt_state shape mismatch
+    # after an --optim change) and silently drop carry_masks
+    if "saved_keys" in meta:
+        on_disk = set(meta["saved_keys"])
+    else:
+        on_disk = set(
+            ocp.PyTreeCheckpointer().metadata(path).item_metadata.keys())
+    for k in set(template) - on_disk - {"params"}:
+        template.pop(k)
+    tree = ocp.PyTreeCheckpointer().restore(path, item=template)
     trainer.params = tree["params"]
     trainer.load_training_state(
         {k: tree[k] for k in ("opt_state", "key", "carry_masks")

@@ -253,17 +253,19 @@ def _qproj(x, wq: dict, bias):
 
 
 def _ln(x, g, b, eps):
-    # f32 moments under any compute policy — as f32-ACCUMULATING reductions
-    # over x itself, not reductions over a materialized f32 copy of the
-    # whole [B, L, H] activation.  E[x^2]-mu^2 keeps it one fused read;
-    # activations are O(1) here so the cancellation error is ~1e-7 relative.
-    # (End-to-end step time is neutral within tunnel noise — XLA fused the
-    # old form too; this form just never names the f32 temporary.)
+    # f32 moments under any compute policy, CENTERED two-pass variance
+    # (torch LayerNorm's formulation): the one-pass E[x^2]-mu^2 form loses
+    # up to ~7 significant digits when mu^2 >> var — real pretrained BERT
+    # residual streams carry large-magnitude outlier channels, exactly that
+    # regime.  The centered subtraction is needed for the output anyway, so
+    # this costs one extra fused read of the (bf16) activation, nothing
+    # more.  Keep in sync with ops/bert_ffn_pallas._ln_epilogue (the fused
+    # kernels' LN) and ops/layernorm.py (the trunk's, already centered).
     mu = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
-    ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    var = jnp.maximum(ms - jnp.square(mu), 0.0)
+    xc = x.astype(jnp.float32) - mu
+    var = jnp.mean(jnp.square(xc), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
-    return (((x.astype(jnp.float32) - mu) * inv) * g + b).astype(x.dtype)
+    return ((xc * inv) * g + b).astype(x.dtype)
 
 
 def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,

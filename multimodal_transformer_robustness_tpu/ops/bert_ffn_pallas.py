@@ -45,11 +45,15 @@ def _cdiv(a: int, b: int) -> int:
 def _ln_epilogue(s, g, b, eps: float):
     """In-kernel LayerNorm with f32 moments (models/bert._ln semantics);
     shared by every kernel so a numerics fix lands in all of them."""
-    mu = jnp.mean(s.astype(jnp.float32), axis=-1, keepdims=True)
-    ms = jnp.mean(jnp.square(s.astype(jnp.float32)), axis=-1, keepdims=True)
-    var = jnp.maximum(ms - jnp.square(mu), 0.0)
+    # centered two-pass variance: E[x^2]-mu^2 cancels catastrophically when
+    # mu^2 >> var (pretrained-BERT outlier channels); s is VMEM-resident
+    # f32 here so the centered form costs nothing extra
+    s32 = s.astype(jnp.float32)
+    mu = jnp.mean(s32, axis=-1, keepdims=True)
+    sc = s32 - mu
+    var = jnp.mean(jnp.square(sc), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
-    return ((s.astype(jnp.float32) - mu) * inv) * g + b
+    return (sc * inv) * g + b
 
 
 # XLA's f32 erf rational approximation (xla/hlo/builder/lib/math.cc

@@ -615,10 +615,15 @@ class Trainer:
         put_masks = (self._rep if self.mesh is not None
                      else functools.partial(jax.tree.map, jnp.asarray))
         full_masks = put_masks(build_masks(spec, full_active_config(spec)))
-        # ctor default is the full MulT topology; a resumed run continues
-        # under the mask config the interrupted run carried into this epoch
+        # ctor default is the full MulT topology; a RESUMED run
+        # (start_epoch > 1, state restored via load_training_state)
+        # continues under the mask config the interrupted run carried into
+        # this epoch.  A fresh fit() on a previously-fitted Trainer must
+        # NOT inherit the last run's carry (fit leaves _carry_masks set for
+        # end-of-run checkpointing), hence the start_epoch gate.
         current_masks = (put_masks(self._carry_masks)
-                         if self._carry_masks is not None else full_masks)
+                         if self._carry_masks is not None and start_epoch > 1
+                         else full_masks)
         t0 = time.time()
         for epoch in range(start_epoch, hp.num_epochs + 1):
             ep_start = time.time()
@@ -648,7 +653,13 @@ class Trainer:
                 # extra passes would each return exactly ``val1``.  Sum the
                 # SAME host-float sequence ((..(v+v)+v)+v) the per-pass loop
                 # produced — bit-identical printed metrics, M fewer full
-                # validation passes per epoch.
+                # validation passes per epoch.  Boundary condition: this
+                # equivalence needs a RESTARTABLE, order-stable valid
+                # loader — true of BatchIterator(shuffle=False), which is
+                # what every entry point passes, and of the reference's own
+                # DataLoader(valid, shuffle=False); a shuffled or one-shot
+                # iterable would make the M reference passes differ and is
+                # out of contract for both frameworks.
                 val_acc = 0.0
                 for _ in range(M):
                     val_acc += val1

@@ -28,39 +28,23 @@ def main():
     assert initialize_multihost(f"127.0.0.1:{port}", nproc, pid) is True
     assert jax.process_count() == nproc
 
-    import numpy as np
-
-    from multimodal_transformer_robustness_tpu import ModelSpec
-    from multimodal_transformer_robustness_tpu.data.loaders import (
-        ArrayDataset, BatchIterator)
+    from _mp_config import make_ds, make_hparams, make_spec
+    from multimodal_transformer_robustness_tpu.data.loaders import BatchIterator
     from multimodal_transformer_robustness_tpu.models import init_supernet
-    from multimodal_transformer_robustness_tpu.train import (TrainHParams,
-                                                             Trainer)
+    from multimodal_transformer_robustness_tpu.train import Trainer
 
-    spec = ModelSpec(
-        modality_set=("t", "a", "v"), orig_dimensions=(16, 12, 10),
-        dimension=8, num_heads=4, head_dim=4, layers_single_attn=2,
-        layers_cross_attn=2, layers_self_attn=1,
-        attn_dropout=(0.0, 0.0, 0.0, 0.0), relu_dropout=0.0, res_dropout=0.0,
-        out_dropout=0.0, embed_dropout=0.0, attn_mask=True, output_dim=1,
-        header_overrides={"t": "rnn"})
+    # spec/hparams/datasets shared with the single-process oracle
+    # (tests/_mp_config.py) — the parity comparison requires them identical
+    spec = make_spec()
     params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
 
     mesh = make_multihost_mesh((("dp", -1),))  # 2 local x 2 DCN = global dp 4
     assert mesh.devices.size == nproc * 2
 
-    hp = TrainHParams(batch_size=8, lr=1e-3, optim="Adam", num_epochs=1,
-                      experiment_type="random_sample", criterion="L1Loss",
-                      dataset="mosei_senti", seed=7, log_interval=1000)
-    trainer = Trainer(spec, params, frozen, hp, mesh=mesh)
+    trainer = Trainer(spec, params, frozen, make_hparams(), mesh=mesh)
 
-    def ds(seed, n=16, t=6):
-        r = np.random.default_rng(seed)
-        return ArrayDataset(
-            [r.standard_normal((n, t, d)).astype(np.float32)
-             for d in spec.orig_dimensions],
-            r.standard_normal((n, 1)).astype(np.float32),
-            dims=spec.orig_dimensions, seq_len=t)
+    def ds(seed):
+        return make_ds(spec, seed)
 
     shard = (pid, nproc)
     curve = trainer.fit(

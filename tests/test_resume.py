@@ -119,3 +119,64 @@ def test_training_state_roundtrip_fields():
     assert tr2.scheduler.num_bad == 3
     assert tr2.best_valid == 0.75
     assert tr2.training_curve == [[0.1, 0.2], [0.3, 0.4]]
+
+
+def test_restore_without_manifest(tmp_path):
+    """Checkpoints saved before the ``saved_keys`` manifest existed restore
+    via orbax's own tree metadata — carry_masks included, no try/except
+    probe that could mask a real restore error."""
+    import json
+
+    from multimodal_transformer_robustness_tpu import build_masks
+    from multimodal_transformer_robustness_tpu.config import ActiveConfig, full_active_config
+
+    spec = _spec()
+    params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
+    tr = Trainer(spec, params, frozen, _hp(2, "test_single", ([0, 1], [1])))
+    # a non-default carried config (what test_single trains under from
+    # epoch 2 on) must survive the manifest-less round trip
+    cfg = full_active_config(spec)
+    cfg.active_cross_output = [[], ["A"]]
+    tr._carry_masks = jax.tree.map(np.asarray, build_masks(spec, cfg))
+    path = str(tmp_path / "ck")
+    save_training_state(path, tr)
+    meta = json.load(open(path + ".train.json"))
+    meta.pop("saved_keys")  # simulate the pre-manifest format
+    json.dump(meta, open(path + ".train.json", "w"))
+
+    params2, frozen2 = init_supernet(jax.random.PRNGKey(7), spec)
+    tr2 = Trainer(spec, params2, frozen2, _hp(2, "test_single", ([0, 1], [1])))
+    restore_training_state(path, tr2)
+    assert tr2._carry_masks is not None
+    for a, b in zip(jax.tree.leaves(tr._carry_masks),
+                    jax.tree.leaves(tr2._carry_masks)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_refit_starts_from_full_topology():
+    """A SECOND fit() on an already-fitted Trainer must not inherit the
+    previous run's carried mask config (fit leaves _carry_masks set for
+    end-of-run checkpointing); only a resume (start_epoch > 1) does."""
+    from multimodal_transformer_robustness_tpu import build_masks
+    from multimodal_transformer_robustness_tpu.config import full_active_config
+
+    spec = _spec()
+    data = (synth_avmnist(32, seed=0), synth_avmnist(16, seed=1),
+            synth_avmnist(16, seed=2))
+    params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
+    tr = Trainer(spec, params, frozen, _hp(1, "test_single", ([0, 1], [1])))
+    _fit(tr, data)  # test_single leaves _carry_masks = eval_masks
+    assert tr._carry_masks is not None
+
+    seen = []
+    orig = tr.train_epoch
+
+    def spy(it, masks, epoch):
+        seen.append(masks)
+        return orig(it, masks, epoch)
+
+    tr.train_epoch = spy
+    _fit(tr, data)  # fresh fit: epoch 1 must train under the FULL topology
+    full = build_masks(spec, full_active_config(spec))
+    for a, b in zip(jax.tree.leaves(seen[0]), jax.tree.leaves(full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
