@@ -11,9 +11,6 @@ Run on the TPU:
 """
 
 import argparse
-import glob
-import gzip
-import json
 import os
 import sys
 
@@ -35,33 +32,11 @@ def capture(batch, cached_text, steps, logdir):
 
 
 def op_stats(logdir):
-    """[(op_name, type, occurrences, total_self_us, device_pct, bound_by)]
-    for device ops, sorted by self time desc."""
-    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
-                             recursive=True))
-    if not paths:
-        raise SystemExit(f"no xplane.pb under {logdir}")
-    from xprof.convert import raw_to_tool_data
+    """Thin wrapper kept for CLI compatibility — the implementation
+    lives in profiling.device_op_stats (shared with cli/main --profile)."""
+    from multimodal_transformer_robustness_tpu.profiling import device_op_stats
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [paths[-1]], "framework_op_stats", {"tqx": "out:json;"})
-    try:
-        data = gzip.decompress(data)
-    except Exception:
-        pass
-    tables = json.loads(data)
-    cols = [c["id"] for c in tables[0]["cols"]]
-    rows = []
-    for r in tables[0].get("rows", []):
-        d = {c: (cell or {}).get("v") for c, cell in zip(cols, r["c"])}
-        if d.get("host_or_device") != "Device":
-            continue
-        rows.append((d.get("operation"), d.get("type"),
-                     d.get("occurrences"), d.get("total_self_time"),
-                     d.get("device_total_self_time_percent"),
-                     d.get("bound_by")))
-    rows.sort(key=lambda t: -(t[3] or 0))
-    return rows
+    return device_op_stats(logdir)
 
 
 def main(argv=None):

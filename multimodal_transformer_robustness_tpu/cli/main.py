@@ -125,6 +125,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
                         "JAX_PROCESS_ID and the dp axis stretches across "
                         "processes over DCN")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="write an XPlane trace of one training epoch "
+                        "(the first post-compile one) under DIR and print "
+                        "the top device ops by self time after training. "
+                        "Open DIR with the TensorBoard/XProf profiler for "
+                        "the full timeline. The reference's observability "
+                        "is a commented torch.profiler block "
+                        "(real-time.py:147-156) and print timers")
     p.add_argument("--device_data", action="store_true",
                    help="whole-dataset HBM residency + on-device batch "
                         "gather (data/device.py) — removes the host input "
@@ -327,8 +335,20 @@ def main(argv=None):
             print(f"Resumed training state from {state_path}; "
                   f"continuing at epoch {start_epoch}")
 
+    if args.profile:
+        trainer.profile_dir = args.profile
+
     trainer.fit(train_loader, valid_loader, test_loader, save_fn=save_fn,
                 epoch_fn=epoch_fn, start_epoch=start_epoch)
+
+    if args.profile:
+        from ..profiling import device_op_stats, format_op_stats
+
+        try:
+            print(format_op_stats(device_op_stats(args.profile), top=30))
+        except Exception as e:  # trace written; analysis is best-effort
+            print(f"profile trace written to {args.profile}; op-stats "
+                  f"analysis unavailable here ({type(e).__name__}: {e})")
 
     if args.sort_supernet:
         from ..models.sorting import sort_supernet

@@ -74,3 +74,57 @@ def cost_analysis(fn: Callable, *args, **kwargs) -> Dict[str, float]:
         cost = cost[0]
     return {"flops": float(cost.get("flops", -1)),
             "bytes_accessed": float(cost.get("bytes accessed", -1))}
+
+
+def device_op_stats(log_dir: str) -> List[tuple]:
+    """Parse an XPlane trace directory (written by :func:`trace`) into
+    per-op device-time rows ``(op_name, type, occurrences, total_self_us,
+    device_pct, bound_by)``, sorted by self time, descending.
+
+    Uses the xprof converter's "framework_op_stats" table — the evidence
+    source behind BENCH_NOTES' step-time breakdowns (host timers cannot
+    see inside a jitted step; the trace can).  Rows tagged Host (or
+    everything, on backends that report no Device rows) are excluded.
+    """
+    import glob
+    import gzip
+    import json
+    import os
+
+    paths = sorted(glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"),
+                             recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {log_dir}")
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        [paths[-1]], "framework_op_stats", {"tqx": "out:json;"})
+    try:
+        data = gzip.decompress(data)
+    except Exception:
+        pass  # already plain json
+    tables = json.loads(data)
+    cols = [c["id"] for c in tables[0]["cols"]]
+    rows = []
+    for r in tables[0].get("rows", []):
+        d = {c: (cell or {}).get("v") for c, cell in zip(cols, r["c"])}
+        if d.get("host_or_device") != "Device":
+            continue
+        rows.append((d.get("operation"), d.get("type"),
+                     d.get("occurrences"), d.get("total_self_time"),
+                     d.get("device_total_self_time_percent"),
+                     d.get("bound_by")))
+    rows.sort(key=lambda t: -(t[3] or 0))
+    return rows
+
+
+def format_op_stats(rows: List[tuple], top: int = 40) -> str:
+    """Human-readable top-N table for :func:`device_op_stats` rows."""
+    total = sum(r[3] or 0 for r in rows)
+    out = [f"device total self time: {total / 1e3:.2f} ms across "
+           f"{len(rows)} ops; top {min(top, len(rows))}:",
+           f"{'self_us':>10} {'%':>5} {'occ':>5} {'bound':>8}  op"]
+    for name, _typ, occ, self_us, pct, bound in rows[:top]:
+        out.append(f"{self_us or 0:>10.0f} {pct or 0:>5.1f} {occ or 0:>5} "
+                   f"{str(bound or ''):>8}  {str(name)[:110]}")
+    return "\n".join(out)

@@ -208,6 +208,12 @@ class Trainer:
         # exact-resume state — without it a resumed test_single run's first
         # batch would train under full_masks (ADVICE r2 #1)
         self._carry_masks: Optional[SupernetMasks] = None
+        # observability (cli --profile): when set, fit() wraps ONE epoch's
+        # training phase in an XPlane trace (profiling.trace) written under
+        # profile_dir.  Default epoch 2: the first post-compile epoch —
+        # epoch 1's device timeline is dominated by compilation
+        self.profile_dir: Optional[str] = None
+        self.profile_epoch: int = 2
 
         spec_apply = functools.partial(supernet_apply, spec)
 
@@ -625,9 +631,21 @@ class Trainer:
                          if self._carry_masks is not None and start_epoch > 1
                          else full_masks)
         t0 = time.time()
+        # the profiled epoch clamps into the run's actual range (a 1-epoch
+        # run still produces a trace, compile noise and all)
+        prof_epoch = min(max(self.profile_epoch, start_epoch), hp.num_epochs)
         for epoch in range(start_epoch, hp.num_epochs + 1):
             ep_start = time.time()
-            _, current_masks = self.train_epoch(train_loader, current_masks, epoch)
+            if self.profile_dir and epoch == prof_epoch:
+                from ..profiling import trace
+
+                with trace(self.profile_dir):
+                    _, current_masks = self.train_epoch(
+                        train_loader, current_masks, epoch)
+                    jax.block_until_ready(self.params.proj1["w"])
+            else:
+                _, current_masks = self.train_epoch(
+                    train_loader, current_masks, epoch)
 
             eval_masks = full_masks
             if hp.experiment_type == "test_single" and hp.modality_pool and \
