@@ -125,6 +125,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
                         "JAX_PROCESS_ID and the dp axis stretches across "
                         "processes over DCN")
+    p.add_argument("--async_ckpt", action="store_true",
+                   help="write the per-epoch training-state checkpoint in "
+                        "background threads (orbax AsyncCheckpointer): the "
+                        "device->host copy stays synchronous, so the "
+                        "snapshot is exact, but serialization + disk I/O "
+                        "(~3.5-6 s at MOSEI size, vs the 0.66 s flagship "
+                        "epoch) overlap the next epoch's training")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="write an XPlane trace of one training epoch "
                         "(the first post-compile one) under DIR and print "
@@ -327,7 +334,7 @@ def main(argv=None):
         state_path = args.model_path + "_train"
 
         def epoch_fn(tr, epoch):
-            save_training_state(state_path, tr)
+            save_training_state(state_path, tr, block=not args.async_ckpt)
 
         if args.resume:
             start_epoch = restore_training_state(state_path, trainer)
@@ -370,6 +377,10 @@ def main(argv=None):
         else:
             missing_modality_sweep(trainer, valid_loader, test_loader,
                                    specific=args.specific)
+    if args.async_ckpt:
+        from ..checkpoint import wait_for_saves
+
+        wait_for_saves()  # commit the last in-flight epoch checkpoint
     return trainer
 
 

@@ -180,3 +180,34 @@ def test_refit_starts_from_full_topology():
     full = build_masks(spec, full_active_config(spec))
     for a, b in zip(jax.tree.leaves(seen[0]), jax.tree.leaves(full)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_save_roundtrips_identically(tmp_path):
+    """save_training_state(block=False) (cli --async_ckpt) commits the same
+    checkpoint a blocking save would; restore waits for in-flight writes."""
+    from multimodal_transformer_robustness_tpu.checkpoint import wait_for_saves
+
+    spec = _spec()
+    params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
+    tr = Trainer(spec, params, frozen, _hp(1))
+    tr.rng.standard_normal(3)
+    tr.training_curve = [[0.5, 0.6]]
+
+    p_sync = str(tmp_path / "sync")
+    p_async = str(tmp_path / "async")
+    save_training_state(p_sync, tr)
+    save_training_state(p_async, tr, block=False)
+    # restore_training_state itself waits for the in-flight write
+    got = []
+    for p in (p_sync, p_async):
+        params2, frozen2 = init_supernet(jax.random.PRNGKey(9), spec)
+        tr2 = Trainer(spec, params2, frozen2, _hp(1))
+        restore_training_state(p, tr2)
+        got.append(tr2)
+    wait_for_saves()
+    for a, b in zip(jax.tree.leaves((got[0].params, got[0].opt_state,
+                                     got[0]._carry_masks, got[0]._key)),
+                    jax.tree.leaves((got[1].params, got[1].opt_state,
+                                     got[1]._carry_masks, got[1]._key))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert got[0].training_curve == got[1].training_curve == [[0.5, 0.6]]
