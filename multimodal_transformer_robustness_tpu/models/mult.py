@@ -190,6 +190,11 @@ def supernet_apply(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     n_cross = len(spec.cross_strings)
+    # k_head is RESERVED, deliberately unconsumed: headers take no rng —
+    # the reference RNN_Header's nn.Dropout is dead code (constructed,
+    # never called in forward, dynamic_models2.py:24-39), so wiring header
+    # dropout here would BREAK parity.  The split stays 5-way because the
+    # downstream key assignments are part of the seeded-run contract.
     k_head, k_m0, k_cr, k_top, k_out = jax.random.split(rng, 5)
 
     out_dtype = jnp.result_type(jnp.float32)

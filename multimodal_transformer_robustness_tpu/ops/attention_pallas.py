@@ -52,6 +52,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .attention_pallas_bwd import flash_block_geometry
+
 NEG_INF = -1e30  # finite fill keeps padded/fully-masked rows NaN-free
 
 
@@ -96,6 +98,42 @@ def _block_uniform(seed, qi, ki, blk_q: int, blk_k: int) -> jnp.ndarray:
     return _hash_uniform(seed, rows, cols)
 
 
+def _flash_init(acc_ref, m_ref, l_ref):
+    """k-block 0: reset the running (accumulator, max, normalizer) scratch.
+    Shared by the causal and key-padding-mask kernels so the recurrence
+    can never diverge between them."""
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+
+def _flash_step(logits, v, acc_ref, m_ref, l_ref, p_scale=None):
+    """One k-block of the flash recurrence: already-masked logits ->
+    running (max, normalizer, accumulator) update.  ``p_scale`` optionally
+    transforms the post-softmax weights for the VALUE accumulation only
+    (the in-softmax dropout path); the normalizer always accumulates raw
+    ``p`` (torch drops AFTER the softmax)."""
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:, :1] = m_new
+    p_v = p if p_scale is None else p_scale(p)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p_v, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _flash_l_safe(l_ref):
+    """Final normalizer, floored so fully-masked/padded rows divide by a
+    positive number instead of producing NaN (they are sliced off)."""
+    return jnp.maximum(l_ref[:, :1], 1e-30)
+
+
 def _flash_kernel(*refs, blk_q: int, blk_k: int, tk: int, causal: bool,
                   offset: int, use_dropout: bool):
     if use_dropout:
@@ -110,9 +148,7 @@ def _flash_kernel(*refs, blk_q: int, blk_k: int, tk: int, causal: bool,
 
     @pl.when(ki == 0)
     def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        _flash_init(acc_ref, m_ref, l_ref)
 
     if causal:
         # last key column this q block can see (exclusive): (qi+1)*blk_q-1+offset
@@ -138,31 +174,18 @@ def _flash_kernel(*refs, blk_q: int, blk_k: int, tk: int, causal: bool,
             mask = jnp.logical_and(mask, col_ids - row_ids < offset)
         logits = jnp.where(mask, logits, NEG_INF)
 
-        m_prev = m_ref[:, :1]
-        l_prev = l_ref[:, :1]
-        m_cur = jnp.max(logits, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(logits - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        # normalizer accumulates RAW p: torch drops after the softmax, so the
-        # denominator never sees the dropout mask
-        l_ref[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[:, :1] = m_new
-        p_v = p
+        p_scale = None
         if use_dropout:
             rate = rate_ref[0, 0, 0]
             u = _block_uniform(seed_ref[0, 0, 0], qi, ki, blk_q, blk_k)
             # scale inside the where: rate == 1 yields zeros, not 0·inf NaNs
             # (matches ops/dropout.py)
-            p_v = jnp.where(u >= rate, p / (1.0 - rate), 0.0)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p_v, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            p_scale = lambda p: jnp.where(u >= rate, p / (1.0 - rate), 0.0)
+        _flash_step(logits, v, acc_ref, m_ref, l_ref, p_scale)
 
     @pl.when(ki == n_k - 1)
     def _finalize():
-        l_safe = jnp.maximum(l_ref[:, :1], 1e-30)
+        l_safe = _flash_l_safe(l_ref)
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
         # log-sum-exp residual for the backward pass
         lse_ref[0, 0] = (m_ref[:, 0] + jnp.log(l_safe[:, 0]))
@@ -179,11 +202,8 @@ def _flash_fwd_impl(q, k, v, seeds, rates, causal, offset, blk_q, blk_k,
     b, h, tq, d = q.shape
     tk = k.shape[2]
 
-    blk_q = min(blk_q, max(8, 1 << (tq - 1).bit_length()))
-    blk_k = min(blk_k, max(128, 1 << (tk - 1).bit_length()))
-    d_pad = _cdiv(d, 128) * 128
-    tq_pad = _cdiv(tq, blk_q) * blk_q
-    tk_pad = _cdiv(tk, blk_k) * blk_k
+    blk_q, blk_k, d_pad, tq_pad, tk_pad = flash_block_geometry(
+        tq, tk, d, blk_q, blk_k)
     n_k = tk_pad // blk_k
 
     def pad(x, t_pad):
@@ -300,6 +320,12 @@ def flash_attention(
     docstring)."""
     if offset is None:
         offset = 1 + abs(k.shape[2] - q.shape[2])
+    # the causal DMA index maps clamp block indices assuming the reference's
+    # offset rule (>= 1); a large negative offset would emit out-of-range
+    # k/v block indices (unspecified out-of-bounds DMA) — reject it
+    assert not causal or offset >= 1, (
+        f"causal flash_attention requires offset >= 1 (got {offset}); the "
+        f"reference mask rule is offset = 1 + |Tk - Tq|")
     use_dropout = dropout_seeds is not None
     if use_dropout:
         assert dropout_rates is not None
@@ -331,9 +357,7 @@ def _flash_kpm_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
 
     @pl.when(ki == 0)
     def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        _flash_init(acc_ref, m_ref, l_ref)
 
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
@@ -345,26 +369,14 @@ def _flash_kpm_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
     col_ids = ki * blk_k + jax.lax.broadcasted_iota(
         jnp.int32, (blk_q, blk_k), 1)
     # per-sample key mask ([1, blk_k], 1 = attend) AND the Tk round-up pad
-    valid = jnp.logical_and(mask_ref[...] > 0, col_ids < tk)
+    valid = jnp.logical_and(mask_ref[0] > 0, col_ids < tk)
     logits = jnp.where(valid, logits, NEG_INF)
 
-    m_prev = m_ref[:, :1]
-    l_prev = l_ref[:, :1]
-    m_cur = jnp.max(logits, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(logits - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    l_ref[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[:, :1] = m_new
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    _flash_step(logits, v, acc_ref, m_ref, l_ref)
 
     @pl.when(ki == n_k - 1)
     def _finalize():
-        l_safe = jnp.maximum(l_ref[:, :1], 1e-30)
-        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / _flash_l_safe(l_ref)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("blk_q", "blk_k", "interpret"))
@@ -409,11 +421,8 @@ def flash_attention_masked(
     b, h, tq, d = q.shape
     tk = k.shape[2]
 
-    blk_q = min(blk_q, max(8, 1 << (tq - 1).bit_length()))
-    blk_k = min(blk_k, max(128, 1 << (tk - 1).bit_length()))
-    d_pad = _cdiv(d, 128) * 128
-    tq_pad = _cdiv(tq, blk_q) * blk_q
-    tk_pad = _cdiv(tk, blk_k) * blk_k
+    blk_q, blk_k, d_pad, tq_pad, tk_pad = flash_block_geometry(
+        tq, tk, d, blk_q, blk_k)
     n_k = tk_pad // blk_k
 
     def pad(x, t_pad):
@@ -430,6 +439,11 @@ def flash_attention_masked(
     any_key = (jnp.sum(key_mask, axis=1, keepdims=True) > 0)
     mask_eff = jnp.where(any_key, key_mask, jnp.ones_like(key_mask))
     mask_eff = jnp.pad(mask_eff, ((0, 0), (0, tk_pad - tk)))
+    # [B, 1, Tk_pad]: Mosaic requires the block's last-two dims to divide
+    # (8, 128) or EQUAL the array dims — a 2-D mask with a (1, blk_k)
+    # block fails that check on hardware (interpret mode doesn't enforce
+    # it), so carry an explicit singleton row axis the block matches
+    mask_eff = mask_eff[:, None, :]
 
     grid = (b * h, tq_pad // blk_q, n_k)
     out = pl.pallas_call(
@@ -444,7 +458,8 @@ def flash_attention_masked(
             pl.BlockSpec((1, blk_k, d_pad), lambda i, qi, ki: (i, ki, 0),
                          memory_space=pltpu.VMEM),
             # one mask row per sample, shared across that sample's heads
-            pl.BlockSpec((1, blk_k), lambda i, qi, ki, h=h: (i // h, ki),
+            pl.BlockSpec((1, 1, blk_k),
+                         lambda i, qi, ki, h=h: (i // h, 0, ki),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, blk_q, d_pad),

@@ -29,6 +29,23 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def flash_block_geometry(tq: int, tk: int, d: int, blk_q: int, blk_k: int):
+    """Clamped block sizes and padded extents: ``(blk_q, blk_k, d_pad,
+    tq_pad, tk_pad)``.  ONE definition shared by the forward, the
+    key-padding-mask forward and the backward kernels (attention_pallas.py
+    imports it from here — this module is the import leaf): the backward
+    re-slices the forward's lse with this geometry and regenerates the
+    in-softmax dropout mask at the same block coordinates, so a divergent
+    clamp or pad rule between the two files would silently corrupt
+    gradients."""
+    blk_q = min(blk_q, max(8, 1 << (tq - 1).bit_length()))
+    blk_k = min(blk_k, max(128, 1 << (tk - 1).bit_length()))
+    d_pad = _cdiv(d, 128) * 128
+    tq_pad = _cdiv(tq, blk_q) * blk_q
+    tk_pad = _cdiv(tk, blk_k) * blk_k
+    return blk_q, blk_k, d_pad, tq_pad, tk_pad
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -165,11 +182,8 @@ def flash_attention_bwd(q, k, v, seeds, rates, out, lse, do, causal, offset,
     per-(batch·head) dropout streams (ignored unless ``use_dropout``)."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
-    blk_q = min(blk_q, max(8, 1 << (tq - 1).bit_length()))
-    blk_k = min(blk_k, max(128, 1 << (tk - 1).bit_length()))
-    d_pad = _cdiv(d, 128) * 128
-    tq_pad = _cdiv(tq, blk_q) * blk_q
-    tk_pad = _cdiv(tk, blk_k) * blk_k
+    blk_q, blk_k, d_pad, tq_pad, tk_pad = flash_block_geometry(
+        tq, tk, d, blk_q, blk_k)
     n_q = tq_pad // blk_q
     n_k = tk_pad // blk_k
 

@@ -108,7 +108,7 @@ class EvolutionSearch:
         lax.map chunking; config-axis sharded across devices when the
         trainer carries a mesh)."""
         tr = self.trainer
-        tr.cfg_chunk = self.max_cfg_chunk  # read at trace time by
+        tr.cfg_chunk = self.max_cfg_chunk  # static jit arg of
         #                                    eval_step_sweep's lax.map
         masks = [build_masks(self.spec, self._cfg(g)) for g in genomes]
         n_real = len(masks)

@@ -295,14 +295,19 @@ class Trainer:
         # backend, per-chunk dispatch/transfer dominates otherwise
         self.cfg_chunk = 32
 
+        # cfg_chunk is a STATIC jit argument (not a closure read): a closure
+        # over self.cfg_chunk would freeze the value of whichever caller
+        # traced first, silently ignoring later knob changes (sweep and EA
+        # both set it before calling)
         def eval_step_sweep(params, frozen, stacked_masks, inputs, zero_flags,
-                            fill_rows):
+                            fill_rows, cfg_chunk):
             return jax.lax.map(
                 lambda m: eval_step(params, frozen, m, inputs, zero_flags,
                                     fill_rows),
-                stacked_masks, batch_size=self.cfg_chunk)
+                stacked_masks, batch_size=cfg_chunk)
 
-        self._eval_step_sweep = jax.jit(eval_step_sweep)
+        self._eval_step_sweep = jax.jit(eval_step_sweep,
+                                        static_argnums=(6,))
 
         # mesh path: masks pre-chunked by the caller to [n_chunks, c, ...]
         # with the c axis sharded over EVERY mesh axis (dp x mp devices all
@@ -402,7 +407,8 @@ class Trainer:
         if self.mesh is None:
             return self._eval_step_sweep(params, self.frozen,
                                          stacked_masks.tree, inputs,
-                                         zero_flags, fill_rows)
+                                         zero_flags, fill_rows,
+                                         self.cfg_chunk)
         inputs, zero_flags, fill_rows = self._rep(
             (list(inputs), zero_flags, fill_rows))
         out = self._eval_step_sweep_chunked(params, self.frozen,

@@ -192,7 +192,7 @@ def missing_modality_sweep(
         # pad the config list to a chunk multiple (repeating the last config)
         # so the device-side lax.map chunking has ONE static shape
         n_real = len(mask_list)
-        trainer.cfg_chunk = max_cfg_chunk  # read at trace time by
+        trainer.cfg_chunk = max_cfg_chunk  # static jit arg of
         #                                     eval_step_sweep's lax.map
         chunk = max_cfg_chunk
         if n_real % chunk and n_real > chunk:
