@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 
 def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
          compute_dtype="bfloat16", cached_text=False, emit_json=True,
-         prng="rbg", repeats=1, bert_int8=False):
+         prng="rbg", repeats=3, bert_int8=False):
     """One measured train-throughput config.  Defaults = the headline:
     throughput-optimal batch (1024, measured sweep in BENCH_NOTES.md) with
     the bf16 compute policy (params f32, compute bf16 —
@@ -168,10 +168,30 @@ def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
         vs = sps / base["reference_samples_per_sec"]
         base_note = (f"reference {base['reference_samples_per_sec']:.2f} "
                      f"samples/s on {base['hardware']}")
-    # MFU estimate from XLA's cost analysis of the compiled step + HBM
-    # accounting (the B=2048 diagnosis lever, benchmarks/b2048_diag.py)
-    flops_note = ""
-    mem_info = {}
+    # FLOP/MFU accounting: ANALYTIC model (flops.py) — XLA's cost_analysis
+    # undercounts ~5-13x here (scan bodies costed once, Pallas custom calls
+    # invisible; BENCH_NOTES "FLOP accounting").  The XLA-visible number is
+    # still recorded for cross-round comparability.
+    from multimodal_transformer_robustness_tpu.flops import (
+        count_params, device_peak_flops, train_step_flops)
+
+    fl = train_step_flops(spec, bert_cfg, batch_size, [L, T, T],
+                          cached_text=cached_text,
+                          n_params=count_params(params))
+    tflops = fl.total / dt / 1e12
+    peak = device_peak_flops(jax.devices()[0])
+    mfu = tflops * 1e12 / peak if peak else None
+    flops_note = (f"; analytic {fl.total / 1e9:.1f} GFLOP/step = "
+                  f"{tflops:.1f} TFLOP/s"
+                  + (f" = {mfu * 100:.1f}% MFU (bf16 peak {peak / 1e12:.0f})"
+                     if mfu is not None else "")
+                  + f"; +remat replay {fl.remat_replay / 1e9:.1f} GFLOP")
+    mem_info = {
+        "gflop_step_analytic": round(fl.total / 1e9, 1),
+        "tflops_per_sec": round(tflops, 1),
+    }
+    if mfu is not None:
+        mem_info["mfu"] = round(mfu, 3)
     try:
         compiled = train_step.lower(
             params, opt_state, frozen, inputs, labels, mask_stream[0],
@@ -179,9 +199,7 @@ def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
         cost = compiled.cost_analysis()
         flops = float(cost.get("flops", 0.0))
         if flops:
-            tflops = flops / dt / 1e12
-            flops_note = (f"; {flops / 1e9:.1f} GFLOP/step = "
-                          f"{tflops:.1f} TFLOP/s achieved")
+            mem_info["gflop_step_xla_visible"] = round(flops / 1e9, 1)
         if cost.get("bytes accessed"):
             mem_info["hbm_bytes_accessed_gb"] = round(
                 float(cost["bytes accessed"]) / 1e9, 2)
@@ -224,7 +242,10 @@ if __name__ == "__main__":
                          "TPU feature; see models/bert.quantize_bert_params)")
     ap.add_argument("--prng", default="rbg",
                     choices=["threefry2x32", "rbg", "unsafe_rbg"])
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="median-of-N timing loops (tunnel drift evidence; "
+                         "BENCH_NOTES)")
     a = ap.parse_args()
     main(batch_size=a.batch, steps=a.steps, bert_layers=a.bert_layers,
          compute_dtype=a.dtype, cached_text=a.cached_text, prng=a.prng,
-         bert_int8=a.bert_int8)
+         bert_int8=a.bert_int8, repeats=a.repeats)
