@@ -27,13 +27,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def main(batch_size=1024, steps=30, warmup=2, bert_layers=4,
+def main(batch_size=4096, steps=30, warmup=2, bert_layers=4,
          compute_dtype="bfloat16", cached_text=False, emit_json=True,
          prng="rbg", repeats=3, bert_int8=False):
     """One measured train-throughput config.  Defaults = the headline:
-    throughput-optimal batch (1024, measured sweep in BENCH_NOTES.md) with
-    the bf16 compute policy (params f32, compute bf16 —
-    ModelSpec.compute_dtype).  ``main(batch_size=16,
+    throughput-optimal batch (4096 since the 2026-08-19 post-kernel-flip
+    sweep — B=1024 before; BENCH_NOTES.md) with the bf16 compute policy
+    (params f32, compute bf16 — ModelSpec.compute_dtype).  ``main(batch_size=16,
     compute_dtype="float32")`` reproduces the strict run.sh-parity
     configuration (the reference trains f32 at B=16).
 
@@ -231,7 +231,7 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--bert_layers", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16",

@@ -43,23 +43,21 @@ def main():
     import bench
     from multimodal_transformer_robustness_tpu.ops import encoder
 
-    # (name, REMAT_MIN_TIME, SCAN_UNROLL, TRUNK_IMPL)
+    # (name, REMAT_MIN_TIME, SCAN_UNROLL) — the TRUNK_IMPL axis was retired
+    # with the fused-trunk encoder dispatch (measured loss at both production
+    # regimes, BENCH_NOTES "staged trunk knobs"; VERDICT r3 #7)
     cells = [
-        ("baseline", 1, False, "xla"),
-        ("no_t1_remat", 2, False, "xla"),
-        ("unroll", 1, True, "xla"),
-        ("no_t1_remat+unroll", 2, True, "xla"),
-        ("trunk_pallas", 1, False, "pallas"),
-        ("trunk_pallas+no_t1_remat", 2, False, "pallas"),
-        ("baseline_again", 1, False, "xla"),
+        ("baseline", 1, False),
+        ("no_t1_remat", 2, False),
+        ("unroll", 1, True),
+        ("no_t1_remat+unroll", 2, True),
+        ("baseline_again", 1, False),
     ]
-    for name, min_time, unroll, trunk in cells:
+    for name, min_time, unroll in cells:
         encoder.REMAT_MIN_TIME = min_time
         encoder.SCAN_UNROLL = unroll
-        encoder.TRUNK_IMPL = trunk
         print(f"--- {name}: REMAT_MIN_TIME={min_time} SCAN_UNROLL={unroll} "
-              f"TRUNK_IMPL={trunk} (cached_text={args.cached_text}, "
-              f"B={args.batch})", flush=True)
+              f"(cached_text={args.cached_text}, B={args.batch})", flush=True)
         try:
             res = bench.main(batch_size=args.batch, steps=args.steps,
                              cached_text=args.cached_text, emit_json=False,
@@ -67,8 +65,7 @@ def main():
                              compute_dtype=args.dtype)
             print(f"{name}: {res}", flush=True)
         except Exception:
-            # a cell that fails to compile (first real-TPU Mosaic shot for
-            # the trunk kernels) must not kill the serialized batch
+            # a failing cell must not kill the serialized batch
             traceback.print_exc()
             print(f"{name}: FAILED", flush=True)
 

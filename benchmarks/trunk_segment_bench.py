@@ -103,17 +103,16 @@ def main(argv=None):
         gsum = sum(jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads))
         return ((val + gsum) * jnp.float32(1e-30)).astype(dt)
 
-    cells = [  # (name, REMAT_MIN_TIME, SCAN_UNROLL, TRUNK_IMPL)
-        ("xla", 1, False, "xla"),
-        ("xla+no_t1_remat", 2, False, "xla"),
-        ("xla+unroll", 1, True, "xla"),
-        ("pallas", 1, False, "pallas"),
-        ("pallas+no_t1_remat", 2, False, "pallas"),
-        ("xla_again", 1, False, "xla"),
+    cells = [  # (name, REMAT_MIN_TIME, SCAN_UNROLL) — TRUNK_IMPL axis
+        # retired with the fused-trunk dispatch (measured loss, 2026-08-18)
+        ("xla", 1, False),
+        ("xla+no_t1_remat", 2, False),
+        ("xla+unroll", 1, True),
+        ("xla_again", 1, False),
     ]
     fns = {}
-    for name, mt, un, impl in cells:
-        enc.REMAT_MIN_TIME, enc.SCAN_UNROLL, enc.TRUNK_IMPL = mt, un, impl
+    for name, mt, un in cells:
+        enc.REMAT_MIN_TIME, enc.SCAN_UNROLL = mt, un
         fns[name] = jax.jit(step)
         try:
             fns[name](jnp.asarray(0, dt), gx, gparams).block_until_ready()
@@ -123,10 +122,10 @@ def main(argv=None):
 
     results = {name: [] for name, *_ in cells}
     for _ in range(args.rounds):
-        for name, mt, un, impl in cells:
+        for name, mt, un in cells:
             if fns[name] is None:
                 continue
-            enc.REMAT_MIN_TIME, enc.SCAN_UNROLL, enc.TRUNK_IMPL = mt, un, impl
+            enc.REMAT_MIN_TIME, enc.SCAN_UNROLL = mt, un
             c = jnp.asarray(0, dt)
             fns[name](c, gx, gparams).block_until_ready()  # warm
             t0 = time.perf_counter()

@@ -61,18 +61,14 @@ REMAT_MIN_TIME = 1
 # True fully unrolls (L is 2-4 here).  Default decided by on-chip A/B
 # (benchmarks/stack_knobs_ab.py) — scan keeps compile time low meanwhile.
 SCAN_UNROLL = False
-# Fused T==1 residual-block kernels (ops/trunk_block_pallas.py): each trunk
-# layer at T==1 collapses (with the attention fast path) to two structurally
-# identical residual blocks; the kernel runs each as ONE pallas_call fwd +
-# one bwd (custom VJP, in-kernel hash dropout) instead of ~16 XLA kernels.
-# "auto" resolves to the kernel on TPU when the weights fit VMEM; default
-# stays "xla" until the on-chip A/B shows a win (BENCH_NOTES protocol).
-# NOTE: flipping changes train-mode dropout REALIZATIONS (hash stream, not
-# jax.random) — distribution, not stream, is the contract (same policy as
-# the flash kernel's in-softmax dropout).
-TRUNK_IMPL = "xla"     # "auto" | "pallas" | "xla"
-TRUNK_INTERPRET = False  # tests: run the kernel in interpret mode on CPU
-TRUNK_BLOCK_ROWS = 128
+# The fused T==1 residual-block kernel (ops/trunk_block_pallas.py) was
+# RETIRED from this dispatch surface 2026-08-19 (VERDICT r3 #7): the on-chip
+# A/B (benchmarks/stack_knobs_ab.py, BENCH_NOTES "staged trunk knobs")
+# measured it a loss at BOTH production regimes (B=1024 bf16 and B=16 f32 —
+# XLA's own fusion of the tiny T==1 bodies wins).  The kernel remains a
+# tested library op (kernel-level oracle tests in
+# tests/test_trunk_block_pallas.py) for wide-residual-block uses outside
+# this trunk.
 
 
 @register_dataclass
@@ -139,61 +135,6 @@ def init_encoder(rng: jax.Array, hp: EncoderHParams) -> dict:
     }
 
 
-def _trunk_resolved_impl() -> str:
-    impl = TRUNK_IMPL
-    if impl == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
-    return impl
-
-
-def _seed_from_key(key: Optional[jax.Array]):
-    """Raw uint32 [2] rng key -> int32 hash seed for the fused kernels'
-    counter-based dropout (no RNG op; the murmur finalizer mixes further)."""
-    if key is None:
-        return 0
-    return jax.lax.bitcast_convert_type(key[0] ^ key[1], jnp.int32)
-
-
-def _layer_forward_fused(lp, x, x_v, hp, m, attn_rate, train, rngs):
-    """T==1 layer as two fused residual-block kernels (see
-    ops/trunk_block_pallas.py for the exact correspondence to the XLA body
-    below; the T==1 softmax is identically 1, so the attention half is the
-    value projection + out-projection with per-(row, head) attn-dropout —
-    the same algebra as attention.py's fast path)."""
-    from .trunk_block_pallas import fused_residual_block
-
-    cm = m.channel_mask
-    h_, dh = hp.num_heads, hp.head_dim
-    hdh = h_ * dh
-    e_in = x.shape[-1]
-    w_attn = lp["attn"]
-    m_mid = (m.head_mask[:, None] * m.head_dim_mask[None, :]).reshape(hdh)
-    have_rng = rngs[0] is not None
-    dm_attn = train and have_rng and not hp.flash_zero_rates
-    dr = train and have_rng and hp.res_dropout > 0
-    dm_ffn = train and have_rng and hp.relu_dropout > 0
-    self_mode = x_v is None
-    x = fused_residual_block(
-        x, x if self_mode else x_v,
-        w_attn["in_proj_w"][2].reshape(hdh, e_in),
-        w_attn["in_proj_b"][2].reshape(hdh),
-        w_attn["out_w"].reshape(e_in, hdh), w_attn["out_b"],
-        lp["ln0"]["g"], lp["ln0"]["b"],
-        cm if self_mode else None, m_mid, cm if self_mode else None,
-        act="id", mid_rep=dh, rate_mid=attn_rate, rate_res=hp.res_dropout,
-        seed_mid=_seed_from_key(rngs[0]), seed_res=_seed_from_key(rngs[1]),
-        use_drop_mid=dm_attn, use_drop_res=dr,
-        block_rows=TRUNK_BLOCK_ROWS, interpret=TRUNK_INTERPRET)
-    return fused_residual_block(
-        x, x, lp["fc1"]["w"], lp["fc1"]["b"], lp["fc2"]["w"], lp["fc2"]["b"],
-        lp["ln1"]["g"], lp["ln1"]["b"], cm, m.ffn_mask, cm,
-        act="relu", mid_rep=1, rate_mid=hp.relu_dropout,
-        rate_res=hp.res_dropout,
-        seed_mid=_seed_from_key(rngs[2]), seed_res=_seed_from_key(rngs[3]),
-        use_drop_mid=dm_ffn, use_drop_res=dr,
-        block_rows=TRUNK_BLOCK_ROWS, interpret=TRUNK_INTERPRET)
-
-
 def _layer_forward(
     lp: dict,
     x: jnp.ndarray,
@@ -210,16 +151,6 @@ def _layer_forward(
 
     tq = x.shape[1]
     tk = x_k.shape[1] if x_k is not None else tq
-    if tq == 1 and tk == 1 and attn_bias is None and \
-            _trunk_resolved_impl() == "pallas":
-        from .trunk_block_pallas import fits_vmem
-        itemsize = jnp.dtype(x.dtype).itemsize
-        hdh = hp.num_heads * hp.head_dim
-        if (fits_vmem(x.shape[-1], hdh, itemsize, TRUNK_BLOCK_ROWS)
-                and fits_vmem(x.shape[-1], 4 * hdh, itemsize,
-                              TRUNK_BLOCK_ROWS)):
-            return _layer_forward_fused(lp, x, x_v, hp, m, attn_rate, train,
-                                        rngs)
     cm = m.channel_mask
     impl = "flash" if hp.attn_impl == "flash" else "xla"
     kw = {}

@@ -39,8 +39,12 @@ dropout).  Masked LayerNorm matches ops/layernorm.py::masked_layer_norm
 Semantics sources: ops/encoder.py::_layer_forward (reference
 modules/dynamic_transformer.py:159-188) and the T==1 fast path in
 ops/attention.py (reference modules/dynamic_multihead_attention.py:84-158).
-Gated OFF by default (ops/encoder.TRUNK_IMPL = "xla") pending the on-chip
-A/B — see BENCH_NOTES.
+RETIRED from the encoder dispatch surface 2026-08-19 (VERDICT r3 #7): the
+on-chip A/B (benchmarks/stack_knobs_ab.py, BENCH_NOTES "staged trunk knobs")
+measured it a loss at both production regimes — XLA's own fusion of the tiny
+T==1 bodies wins.  Kept as a standalone library op (fused masked
+LN -> dense -> act -> dense -> dropout -> residual block with a custom VJP)
+with kernel-level oracle tests in tests/test_trunk_block_pallas.py.
 """
 
 from __future__ import annotations

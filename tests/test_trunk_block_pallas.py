@@ -1,18 +1,15 @@
-"""Fused T==1 trunk residual-block kernel (ops/trunk_block_pallas.py).
+"""Fused residual-block LIBRARY kernel (ops/trunk_block_pallas.py).
 
-Oracles, in interpret mode on CPU:
+The kernel was retired from the encoder dispatch surface (measured loss at
+both production regimes — see the module docstring / BENCH_NOTES); these are
+its kernel-level oracle tests, in interpret mode on CPU:
   * the kernel (fwd AND custom-VJP grads, all 8 differentiable leaves)
     against ``fused_residual_block_reference`` — a dense XLA composition
     with the SAME position-hash dropout realization, differentiated by JAX
     autodiff (the flash kernel's oracle pattern);
-  * the kernel against the PRODUCTION op composition
+  * the kernel against the production op composition
     (masked_layer_norm / multihead_attention T==1 fast path / masked_linear)
-    for all three block shapes it replaces — validates the weight-layout
-    reshapes in ops/encoder._layer_forward_fused;
-  * encoder_forward under TRUNK_IMPL="pallas" vs "xla": eval bit-parity,
-    zero-rate train-mode gradient parity, dropout-mode finiteness (the
-    dropout STREAM differs by design — distribution, not stream, is the
-    contract), and vmap == python-loop (the production stacked call).
+    for the three block shapes of a T==1 encoder layer.
 """
 
 import jax
@@ -23,7 +20,6 @@ import pytest
 from multimodal_transformer_robustness_tpu.ops import (
     EncoderMasks, encoder_forward, init_encoder, init_mha,
     masked_layer_norm, masked_linear, multihead_attention)
-from multimodal_transformer_robustness_tpu.ops import encoder as enc_mod
 from multimodal_transformer_robustness_tpu.ops.encoder import EncoderHParams
 from multimodal_transformer_robustness_tpu.ops.linear import init_linear
 from multimodal_transformer_robustness_tpu.ops.trunk_block_pallas import (
@@ -34,14 +30,6 @@ def _prefix(n, k):
     m = np.zeros((n,), np.float32)
     m[:k] = 1.0
     return jnp.asarray(m)
-
-
-@pytest.fixture
-def knobs():
-    saved = (enc_mod.TRUNK_IMPL, enc_mod.TRUNK_INTERPRET)
-    enc_mod.TRUNK_INTERPRET = True
-    yield
-    enc_mod.TRUNK_IMPL, enc_mod.TRUNK_INTERPRET = saved
 
 
 def _rand_operands(rng, B, E, F):
@@ -150,108 +138,6 @@ def test_kernel_matches_production_ops_composition():
                                rtol=1e-5, atol=1e-6)
 
 
-def _enc_setup():
-    B, E, H, Dh, L = 6, 16, 2, 4, 3
-    params = init_encoder(jax.random.PRNGKey(2), EncoderHParams(
-        embed_dim_in=E, num_heads=H, head_dim=Dh, layers=L))
-    r = np.random.default_rng(0)
-    x = jnp.asarray(r.standard_normal((B, 1, E)), jnp.float32)
-    kv = jnp.asarray(r.standard_normal((B, 1, E)), jnp.float32)
-    masks = EncoderMasks(_prefix(L, 2), _prefix(H, 1), _prefix(Dh, 3),
-                         _prefix(4 * H * Dh, 10),
-                         channel_mask=_prefix(E, 12))
-    masks_nc = EncoderMasks(_prefix(L, 2), _prefix(H, 1), _prefix(Dh, 3),
-                            _prefix(4 * H * Dh, 10))
-    return params, x, kv, masks, masks_nc, (E, H, Dh, L)
-
-
-def test_encoder_fused_eval_parity(knobs):
-    params, x, kv, masks, masks_nc, (E, H, Dh, L) = _enc_setup()
-    hp = EncoderHParams(embed_dim_in=E, num_heads=H, head_dim=Dh, layers=L,
-                        attn_mask=True, relu_dropout=0.1, res_dropout=0.3,
-                        flash_zero_rates=False)
-    outs = {}
-    for impl in ("xla", "pallas"):
-        enc_mod.TRUNK_IMPL = impl
-        outs[impl] = (
-            encoder_forward(params, x * masks.channel_mask, hp=hp,
-                            masks=masks, attn_rate=jnp.float32(0.0)),
-            encoder_forward(params, x, kv, hp=hp, masks=masks_nc,
-                            attn_rate=jnp.float32(0.0)))
-    for a, b in zip(outs["xla"], outs["pallas"]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6)
-
-
-@pytest.mark.parametrize("cross", [False, True])
-def test_encoder_fused_zero_rate_grad_parity(knobs, cross):
-    params, x, kv, _, masks_nc, (E, H, Dh, L) = _enc_setup()
-    hp = EncoderHParams(embed_dim_in=E, num_heads=H, head_dim=Dh, layers=L,
-                        attn_mask=True, relu_dropout=0.0, res_dropout=0.0,
-                        flash_zero_rates=True)
-
-    def loss(p, impl):
-        enc_mod.TRUNK_IMPL = impl
-        out = encoder_forward(p, x, kv if cross else None, hp=hp,
-                              masks=masks_nc, attn_rate=jnp.float32(0.0),
-                              train=True, rng=jax.random.PRNGKey(5))
-        return jnp.sum(out ** 2)
-
-    vx, gx = jax.value_and_grad(lambda p: loss(p, "xla"))(params)
-    vp, gp = jax.value_and_grad(lambda p: loss(p, "pallas"))(params)
-    np.testing.assert_allclose(float(vx), float(vp), rtol=1e-6)
-    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
-
-
-def test_encoder_fused_dropout_train_finite_and_unbiased(knobs):
-    params, x, kv, _, masks_nc, (E, H, Dh, L) = _enc_setup()
-    hp = EncoderHParams(embed_dim_in=E, num_heads=H, head_dim=Dh, layers=L,
-                        attn_mask=True, relu_dropout=0.1, res_dropout=0.3,
-                        flash_zero_rates=False)
-    enc_mod.TRUNK_IMPL = "pallas"
-
-    def fwd(p, key):
-        return encoder_forward(p, x, kv, hp=hp, masks=masks_nc,
-                               attn_rate=jnp.float32(0.2), train=True,
-                               rng=key)
-
-    v, g = jax.value_and_grad(
-        lambda p: jnp.sum(fwd(p, jax.random.PRNGKey(6)) ** 2))(params)
-    assert np.isfinite(float(v))
-    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
-    # the dropout stream is live: different keys -> different outputs, and
-    # train != eval.  (NOTE: a scalar like sum(out**2) cannot detect this —
-    # the stack's final LayerNorm pins it near B*E for any input.)
-    o6 = fwd(params, jax.random.PRNGKey(6))
-    o7 = fwd(params, jax.random.PRNGKey(7))
-    assert float(jnp.abs(o6 - o7).max()) > 1e-3
-    o_eval = encoder_forward(params, x, kv, hp=hp, masks=masks_nc,
-                             attn_rate=jnp.float32(0.2))
-    assert float(jnp.abs(o6 - o_eval).max()) > 1e-3
-
-
-def test_encoder_fused_vmap_matches_loop(knobs):
-    params, x, _, _, masks_nc, (E, H, Dh, L) = _enc_setup()
-    hp = EncoderHParams(embed_dim_in=E, num_heads=H, head_dim=Dh, layers=L,
-                        attn_mask=True, relu_dropout=0.1, res_dropout=0.3,
-                        flash_zero_rates=False)
-    enc_mod.TRUNK_IMPL = "pallas"
-    xs = jnp.stack([x, x + 1])
-    rates = jnp.asarray([0.0, 0.1], jnp.float32)
-    keys = jax.random.split(jax.random.PRNGKey(7), 2)
-
-    def f(xx, rr, kk):
-        return encoder_forward(params, xx, hp=hp, masks=masks_nc,
-                               attn_rate=rr, train=True, rng=kk)
-
-    ov = jax.vmap(f)(xs, rates, keys)
-    ol = jnp.stack([f(xs[i], rates[i], keys[i]) for i in range(2)])
-    np.testing.assert_allclose(np.asarray(ov), np.asarray(ol),
-                               rtol=1e-6, atol=1e-6)
-
-
 def test_kernel_bf16_tolerance():
     r = np.random.default_rng(3)
     B, E, F = 16, 16, 24
@@ -265,51 +151,3 @@ def test_kernel_bf16_tolerance():
     assert out16.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out16, np.float32),
                                np.asarray(out32), rtol=0.05, atol=0.05)
-
-
-def test_trainer_fit_fused_matches_xla():
-    """Full production Trainer epochs under TRUNK_IMPL=pallas (interpret)
-    == TRUNK_IMPL=xla, with all dropout rates 0 (nonzero rates diverge by
-    design: the fused path draws from the hash stream).  This is the e2e
-    gate a default flip must keep green."""
-    from multimodal_transformer_robustness_tpu import ModelSpec
-    from multimodal_transformer_robustness_tpu.data.loaders import (
-        ArrayDataset, BatchIterator)
-    from multimodal_transformer_robustness_tpu.models import init_supernet
-    from multimodal_transformer_robustness_tpu.train import (
-        TrainHParams, Trainer)
-
-    spec = ModelSpec(
-        modality_set=("t", "a"), orig_dimensions=(10, 8), dimension=8,
-        num_heads=2, head_dim=4, layers_single_attn=1, layers_cross_attn=1,
-        layers_self_attn=1, attn_dropout=(0.0, 0.0, 0.0), relu_dropout=0.0,
-        res_dropout=0.0, out_dropout=0.0, embed_dropout=0.0, attn_mask=True,
-        output_dim=1, header_overrides={"t": "rnn"})
-    params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
-
-    def loaders():
-        def ds(seed):
-            r = np.random.default_rng(seed)
-            return ArrayDataset(
-                [r.standard_normal((8, 4, d)).astype(np.float32)
-                 for d in spec.orig_dimensions],
-                r.standard_normal((8, 1)).astype(np.float32),
-                dims=spec.orig_dimensions, seq_len=4)
-        return (BatchIterator(ds(0), 4, shuffle=True, seed=5),
-                BatchIterator(ds(1), 4), BatchIterator(ds(2), 4))
-
-    hp = TrainHParams(batch_size=4, lr=1e-2, optim="SGD", num_epochs=2,
-                      experiment_type="random_sample", criterion="L1Loss",
-                      dataset="mosei_senti", seed=0)
-    saved = (enc_mod.TRUNK_IMPL, enc_mod.TRUNK_INTERPRET)
-    try:
-        curves = {}
-        for impl in ("xla", "pallas"):
-            enc_mod.TRUNK_IMPL = impl
-            enc_mod.TRUNK_INTERPRET = True
-            t = Trainer(spec, jax.tree.map(jnp.copy, params), frozen, hp)
-            curves[impl] = np.asarray(t.fit(*loaders()))
-    finally:
-        enc_mod.TRUNK_IMPL, enc_mod.TRUNK_INTERPRET = saved
-    np.testing.assert_allclose(curves["pallas"], curves["xla"],
-                               rtol=1e-4, atol=1e-5)
