@@ -6,8 +6,9 @@ head-dim padding, BENCH_NOTES "flash_attn sizing cell"); its claimed regime
 is LONG-sequence text where the [B, H, T, T] logits tensor dominates HBM
 traffic on the XLA path.  Cells: XLA additive-bias attention vs the kernel
 at BERT-base head geometry (H=12, dh=64) over T ∈ {512, 1024, 2048, 4096},
-25% key padding, bf16 operands, in-process threaded-carry protocol
-(BENCH_NOTES "Timing protocol").
+25% key padding, device-side scan loops with scalar readback
+(the ONLY protocol that measures through the axon tunnel — see the
+make_loop comment and BENCH_NOTES "Timing protocol").
 
 Usage: python benchmarks/kpm_regime_bench.py [--iters 30] [--rounds 3]
 """
@@ -33,6 +34,8 @@ def main():
     ap.add_argument("--tokens", type=int, default=2 ** 15,
                     help="B*T held ~constant so every cell is ~equal work "
                          "per iteration scale-wise")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
     a = ap.parse_args()
 
     import jax
@@ -45,6 +48,8 @@ def main():
 
     enable_compilation_cache()
     H, dh = a.heads, a.head_dim
+    dt = jnp.dtype(a.dtype)
+    c_dt = lambda x: jnp.asarray(x, dt)
     scale = 1.0 / math.sqrt(dh)
 
     def xla_masked(q, k, v, key_mask):
@@ -57,39 +62,46 @@ def main():
     for T in (512, 1024, 2048, 4096):
         B = max(1, a.tokens // T)
         r = np.random.default_rng(0)
-        q = jnp.asarray(r.standard_normal((B, H, T, dh)), jnp.bfloat16) * scale
-        k = jnp.asarray(r.standard_normal((B, H, T, dh)), jnp.bfloat16)
-        v = jnp.asarray(r.standard_normal((B, H, T, dh)), jnp.bfloat16)
+        q = jnp.asarray(r.standard_normal((B, H, T, dh)), dt) * c_dt(scale)
+        k = jnp.asarray(r.standard_normal((B, H, T, dh)), dt)
+        v = jnp.asarray(r.standard_normal((B, H, T, dh)), dt)
         mask = np.ones((B, T), np.int32)
         mask[:, int(T * 0.75):] = 0  # 25% padding
         mask = jnp.asarray(mask)
 
-        def make_step(fn):
+        def make_loop(fn, n):
+            # DEVICE-SIDE timing loop with a SCALAR READBACK: one dispatch
+            # runs n chained iterations via lax.scan (each feeding the full
+            # output back into q at real magnitude), and the caller fetches
+            # float(sum) — the only synchronization that measures through
+            # the axon tunnel.  Two traps this dodges (both measured as
+            # ~50,000 "TFLOP/s" 2026-08-19, BENCH_NOTES "Timing protocol"):
+            # the client memoizes bit-identical repeat executions, and
+            # block_until_ready() does NOT wait for remote completion.
             @jax.jit
-            def step(c, q, k, v, m):
-                # thread the carry through q so iterations have a data dep
-                out = fn(q + c, k, v, m)
-                return (jnp.sum(out[0, 0, 0]) * jnp.bfloat16(1e-24)).astype(
-                    jnp.bfloat16)
-            return step
+            def loop(q, k, v, m):
+                def body(c, _):
+                    out = fn(q + c * c_dt(1e-3), k, v, m)
+                    return out, ()
+                c, _ = jax.lax.scan(body, jnp.zeros_like(q), None, length=n)
+                return jnp.sum(c.astype(jnp.float32))
+            return loop
 
         cells = {
-            "xla": make_step(xla_masked),
-            "kernel": make_step(lambda q, k, v, m: flash_attention_masked(
-                q, k, v, m)),
-            "xla_again": make_step(xla_masked),
+            "xla": make_loop(xla_masked, a.iters),
+            "kernel": make_loop(lambda q, k, v, m: flash_attention_masked(
+                q, k, v, m), a.iters),
+            "xla_again": make_loop(xla_masked, a.iters),
         }
         res = {name: [] for name in cells}
-        for name, step in cells.items():
-            step(jnp.bfloat16(0), q, k, v, mask).block_until_ready()  # compile
+        for name, loop in cells.items():
+            float(loop(q, k, v, mask))  # compile + first exec
         for _ in range(a.rounds):
-            for name, step in cells.items():
-                c = jnp.bfloat16(0)
-                step(c, q, k, v, mask).block_until_ready()  # warm
+            for name, loop in cells.items():
+                # q differs per round so the memoizer cannot elide the call
+                q = q + c_dt(1e-3)
                 t0 = time.perf_counter()
-                for _ in range(a.iters):
-                    c = step(c, q, k, v, mask)
-                c.block_until_ready()
+                float(loop(q, k, v, mask))
                 res[name].append((time.perf_counter() - t0) / a.iters * 1e3)
         line = " ".join(f"{n}={float(np.median(v)):.3f}ms" for n, v in res.items())
         # attention-only matmul flops (fwd): 2*B*H*T*T*dh * 2 dots

@@ -40,7 +40,7 @@ FFN_IMPL_INT8 = "auto"  # same contract for --bert_int8 quantized weights
 #   (ffn_ln_block_q); gated SEPARATELY so each kernel flips on its own
 #   measurement.  Flipped 2026-08-18: pallas_ffn_int8 23.20 ms vs
 #   prod_int8 27.36 ms (-15%) in the same in-process A/B.
-ATTN_IMPL = "auto"  # "auto" | "fused" | "dense" | "pallas" | "xla" —
+ATTN_IMPL = "auto"  # "auto" | "fused" | "dense" | "xla" —
 #   frozen-BERT attention impl.
 #   "fused" = attention_block_fused (ops/bert_attn_pallas.py stage 2): the
 #   ENTIRE BertSelfAttention+BertSelfOutput block (q/k/v/o dots + per-head
@@ -58,14 +58,15 @@ ATTN_IMPL = "auto"  # "auto" | "fused" | "dense" | "pallas" | "xla" —
 #   where the fused block's weights would not fit VMEM.  The int8 combo
 #   MEASURED A LOSS (dense_attn_int8 28.20 vs prod_int8 22.68), so
 #   quantized layers keep the XLA einsums under "auto".
-#   "pallas" = flash_attention_masked (ops/attention_pallas.py, fwd-only
-#   key-padding-mask flash kernel).  MEASURED A LOSS at BERT shapes
-#   (bert_variants_bench `flash_attn` cell, 2026-08-18): B=1024 L=32
-#   52.7 ms vs 27.2 XLA; B=128 L=256 28.6 vs 20.2 — the 64 -> 128
-#   head-dim pad plus per-(b,h)-program overhead dominate at h=768/12
-#   heads, unlike the trunk shapes where the flash formulation wins at
-#   T >= 512.  The knob exists so O(T^2) logits memory can be traded away
-#   for very long text (T >~ 2k would not fit the [B,H,T,T] f32 logits).
+#   The former "pallas" option (flash_attention_masked) was RETIRED from
+#   this dispatch 2026-08-19 (VERDICT r3 #7): it measured a loss at BERT
+#   shapes (bert_variants_bench `flash_attn`, 2026-08-18: B=1024 L=32
+#   52.7 ms vs 27.2 XLA) AND at its claimed long-text regime
+#   (benchmarks/kpm_regime_bench.py, 2026-08-19: 0.31-0.76x vs XLA at
+#   T=512-4096, both bf16 and f32, incl. T=4096 where the O(T^2) logits
+#   memory argument was supposed to bite — XLA's own attention fusion
+#   handles it).  The kernel remains a tested library op
+#   (ops/attention_pallas.flash_attention_masked, tests/test_flash_kpm.py).
 ATTN_UPB = None    # "dense" kernel block size: (batch, head) units per
 #                    program (None = ~512 packed rows, measured optimum)
 ATTN_BLOCK_ITEMS = None  # "fused" kernel block size: batch items per
@@ -357,16 +358,6 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
             attn = dense_attention_blockdiag(
                 q, k, v, attention_mask, units_per_block=ATTN_UPB,
                 interpret=FFN_INTERPRET)
-        elif attn_impl == "pallas":
-            # fused flash attention with the key-padding mask regenerated
-            # in-kernel (no [B,1,1,L] bias tensor); opt-in for long text —
-            # see the ATTN_IMPL note above for the measured shape regime
-            from ..ops.attention_pallas import flash_attention_masked
-            attn = flash_attention_masked(
-                (q * (1.0 / math.sqrt(dh))).transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
-                attention_mask, interpret=FFN_INTERPRET,
-            ).transpose(0, 2, 1, 3).reshape(b, L, h)
         else:
             logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                  preferred_element_type=jnp.float32)
