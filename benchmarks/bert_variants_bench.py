@@ -168,7 +168,7 @@ def main(argv=None):
                 "dense_attn_u32", "dense_attn_int8", "attn_fused",
                 "attn_fused_b8", "attn_fused_b4", "attn_fused_b12",
                 "attn_fused_b2", "attn_fused_b1", "attn_fused_int8ffn",
-                "attn_xla"]
+                "attn_fused_sm16", "attn_xla"]
     if args.only:
         keep = [s.strip() for s in args.only.split(",")]
         unknown = set(keep) - set(variants)
@@ -360,6 +360,12 @@ def main(argv=None):
             lambda c, p, bi=bi: _prod(
                 p, c, extra={"ATTN_IMPL": "fused", "ATTN_BLOCK_ITEMS": bi}))
         inp[cell] = params_f32
+    # policy-gated bf16-softmax inside the fused kernel (VERDICT r3 #8;
+    # accuracy oracle tests/test_bf16_softmax.py)
+    fns["attn_fused_sm16"] = jax.jit(
+        lambda c, p: _prod(p, c, extra={"ATTN_IMPL": "fused",
+                                        "ATTN_SOFTMAX": "bfloat16"}))
+    inp["attn_fused_sm16"] = params_f32
 
     compiled = []
     for v in variants:

@@ -67,6 +67,12 @@ ATTN_IMPL = "auto"  # "auto" | "fused" | "dense" | "xla" —
 #   memory argument was supposed to bite — XLA's own attention fusion
 #   handles it).  The kernel remains a tested library op
 #   (ops/attention_pallas.flash_attention_masked, tests/test_flash_kpm.py).
+ATTN_SOFTMAX = "float32"  # "float32" | "bfloat16" — softmax exp/sum/div
+#   dtype inside the fused attention kernel (the max subtraction and masks
+#   stay f32).  Policy-gated cell (VERDICT r3 #8): default stays f32 — the
+#   replicated reference numeric — unless the on-chip A/B shows a win AND
+#   the accuracy oracle (tests/test_bf16_softmax.py) holds.  Measured
+#   accept/reject record: BENCH_NOTES "bf16 softmax cell".
 ATTN_UPB = None    # "dense" kernel block size: (batch, head) units per
 #                    program (None = ~512 packed rows, measured optimum)
 ATTN_BLOCK_ITEMS = None  # "fused" kernel block size: batch items per
@@ -345,7 +351,8 @@ def bert_apply(params: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
                 x, attention_mask, lp["q_w"], lp["q_b"], lp["k_w"],
                 lp["k_b"], lp["v_w"], lp["v_b"], lp["o_w"], lp["o_b"],
                 lp["ln1_g"], lp["ln1_b"], n_heads=n_heads, eps=eps,
-                block_items=ATTN_BLOCK_ITEMS, interpret=FFN_INTERPRET)
+                block_items=ATTN_BLOCK_ITEMS, interpret=FFN_INTERPRET,
+                softmax_dtype=ATTN_SOFTMAX)
             return _layer_ffn(x2, lp), None
 
         q = proj(lp["q_w"], lp["q_b"])

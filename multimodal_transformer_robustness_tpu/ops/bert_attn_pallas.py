@@ -180,7 +180,8 @@ def dense_attention_blockdiag(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _attn_block_kernel(x_ref, bias_ref, diag_ref, wq_ref, qb_ref, wk_ref,
                        kb_ref, wv_ref, vb_ref, wo_ref, ob_ref, g_ref, bb_ref,
-                       o_ref, *, L: int, n_heads: int, dh: int, eps: float):
+                       o_ref, *, L: int, n_heads: int, dh: int, eps: float,
+                       softmax_dtype=jnp.float32):
     x = x_ref[...]                                    # [R, h]
     # NOTE no precision= on any dot here — precision=HIGHEST with bf16
     # operands crashes the Mosaic compiler (bisected 2026-08-18)
@@ -201,8 +202,11 @@ def _attn_block_kernel(x_ref, bias_ref, diag_ref, wq_ref, qb_ref, wk_ref,
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s / scale + colbias + diag
+        # the max subtraction stays f32 (it sees the -inf/-10000 masks);
+        # softmax_dtype=bf16 runs the exp/sum/div VPU tail half-width —
+        # the measured "bf16 softmax" policy cell (BENCH_NOTES)
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp((s - m).astype(softmax_dtype))
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
         parts.append(jax.lax.dot_general(
             p, vh, (((1,), (0,)), ((), ())),
@@ -215,18 +219,25 @@ def _attn_block_kernel(x_ref, bias_ref, diag_ref, wq_ref, qb_ref, wk_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "eps", "block_items",
-                                             "interpret"))
+                                             "interpret", "softmax_dtype"))
 def attention_block_fused(x: jnp.ndarray, key_mask: jnp.ndarray,
                           wq, qb, wk, kb, wv, vb, wo, ob, ln_g, ln_b, *,
                           n_heads: int, eps: float,
                           block_items: int | None = None,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          softmax_dtype: str = "float32") -> jnp.ndarray:
     """``LayerNorm(x + o_proj(MHA(x)))`` — HF BertSelfAttention +
     BertSelfOutput — fused into one pallas_call.
 
     x: [B, L, h]; key_mask: [B, L] (1 = attend); weights [h, h] in
     ``x @ w.T`` orientation (HF state-dict layout); biases/LN params [h].
     Returns [B, L, h] in x's dtype.
+
+    ``softmax_dtype="bfloat16"`` is the policy-gated cell from VERDICT r3
+    #8: the exp/sum/div softmax tail runs in bf16 (the max subtraction and
+    the masks stay f32).  Accuracy oracle in tests/test_bf16_softmax.py;
+    accept/reject record in BENCH_NOTES — the default stays f32, the
+    replicated reference numeric (torch softmax is f32).
     """
     B, L, h = x.shape
     dh = h // n_heads
@@ -253,7 +264,7 @@ def attention_block_fused(x: jnp.ndarray, key_mask: jnp.ndarray,
               _f32row(ln_g), _f32row(ln_b)]
     out = pl.pallas_call(
         functools.partial(_attn_block_kernel, L=L, n_heads=n_heads, dh=dh,
-                          eps=eps),
+                          eps=eps, softmax_dtype=jnp.dtype(softmax_dtype)),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((R, h), lambda i: (i, 0)),
                   pl.BlockSpec((8, R), lambda i: (i, 0)),
