@@ -88,6 +88,14 @@ class ModalityStr:
                 s1 = self.gen_modality_str(s)
                 modality_str.extend(s1)
                 nxt.extend(s1)
+            if not nxt and not modality_str:
+                # a seed of complete strings (every modality present, e.g.
+                # ["ta"] at M=2) admits no extension: the reference's loop
+                # (models2.py:67-74) never terminates on it.  No production
+                # caller constructs such a seed; raise instead of hanging.
+                raise ValueError(
+                    f"gen_modality_str_all: seed {list(frontier) or modality_set} "
+                    "admits no extensions (all strings complete)")
             frontier = nxt
         return modality_str
 
