@@ -138,7 +138,9 @@ def main(batch_size=4096, steps=30, warmup=2, bert_layers=4,
         key, k = jax.random.split(key)
         params, opt_state, loss = train_step(
             params, opt_state, frozen, inputs, labels, mask_stream[i], k)
-    jax.block_until_ready(loss)
+    float(loss)  # host readback: warmup must be DONE before the timer
+    #              starts (block_until_ready alone can return early
+    #              through the tunnel — BENCH_NOTES timing traps)
     # ``repeats`` > 1: median-of-N protocol for latency-bound cells — small-
     # batch steps swing ±40% day-to-day through the remote tunnel
     # (BENCH_NOTES), so each timing loop repeats and the MEDIAN is reported
@@ -151,7 +153,14 @@ def main(batch_size=4096, steps=30, warmup=2, bert_layers=4,
             params, opt_state, loss = train_step(
                 params, opt_state, frozen, inputs, labels,
                 mask_stream[warmup + i], k)
-        jax.block_until_ready(loss)
+        # HOST READBACK, not just block_until_ready: through the axon
+        # tunnel block_until_ready can return before remote completion
+        # (BENCH_NOTES "Timing protocol, STRENGTHENED" trap #3); float()
+        # of the final loss — which depends on the whole donated-params
+        # chain — is the synchronization that provably waits.  Costs one
+        # ~4 ms RTT per timed loop (~0.1 ms/step at steps=30), included
+        # in the reported time.
+        assert np.isfinite(float(loss))
         dts.append((time.time() - t0) / steps)
     dt = float(np.median(dts))
     if len(dts) > 1:

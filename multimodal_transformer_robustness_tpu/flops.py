@@ -174,11 +174,12 @@ def train_step_flops(
                 out.bert_fwd += bert_fwd(B, T, bert_cfg)
             f = rnn_header_fwd(B, T, bert_cfg.hidden_size, d)
         elif kind == "cnn_rnn":
-            # conv 3x3, 1→1 channel over [H, W] = orig_dim² pixels, then
-            # RNN header over 16 patches of (orig/4)² features
+            # conv 3x3, 1→1 channel over [H, W] = orig_dim² pixels (part of
+            # headers_fwd so fwd/bwd stay consistent across M cnn headers),
+            # then RNN header over 16 patches of (orig/4)² features
             o = spec.orig_dimensions[i]
-            out.parts["cnn_conv"] = 2.0 * B * o * o * 9
-            f = rnn_header_fwd(B, 16, (o // 4) * (o // 4), d)
+            f = 2.0 * B * o * o * 9
+            f += rnn_header_fwd(B, 16, (o // 4) * (o // 4), d)
         else:
             f = rnn_header_fwd(B, T, spec.orig_dimensions[i], d)
         out.headers_fwd += f
@@ -198,13 +199,15 @@ def train_step_flops(
     if train:
         # every trainable matmul pays dX + dW (= 2× fwd); frozen BERT pays
         # nothing (stop_gradient)
-        out.bwd = 2.0 * (out.headers_fwd + out.trunk_fwd + out.head_mlp_fwd
-                         + out.parts.get("cnn_conv", 0.0))
+        out.bwd = 2.0 * (out.headers_fwd + out.trunk_fwd + out.head_mlp_fwd)
         # adam + global-norm clip ≈ 12 flops/param (m, v, update, clip)
         out.optimizer = 12.0 * n_params
-        # layer-remat gate (ops/encoder.py): trunk stacks replay their
-        # forward during bwd when B·T ≥ 512 rows
-        if B * 1 >= 512:
+        # layer-remat gate: consult ops.encoder's LIVE knobs (benchmark
+        # cells flip them; a literal 512 here would misreport those cells)
+        from .ops import encoder as _enc
+
+        if (_enc.REMAT_LAYERS and 1 >= _enc.REMAT_MIN_TIME
+                and B * 1 >= _enc.REMAT_MIN_ROWS):
             out.remat_replay = out.trunk_fwd
 
     out.parts.update({

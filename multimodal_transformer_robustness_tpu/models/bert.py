@@ -127,6 +127,12 @@ def _attn_resolved_impl(L: int, dh: int, quantized: bool = False,
         # combo measured a LOSS, so one was never built): a forced "fused"
         # on a quantized layer falls back rather than tracing dict weights
         return "xla"
+    if ATTN_IMPL not in ("fused", "dense", "xla"):
+        # reject stale values loudly — "pallas" (retired 2026-08-19) or a
+        # typo would otherwise silently run the XLA else-branch and label
+        # measurements with the wrong implementation
+        raise ValueError(f"unknown ATTN_IMPL {ATTN_IMPL!r}; valid: "
+                         "'auto' | 'fused' | 'dense' | 'xla'")
     return ATTN_IMPL
 
 
