@@ -160,7 +160,9 @@ def main(batch_size=4096, steps=30, warmup=2, bert_layers=4,
         # chain — is the synchronization that provably waits.  Costs one
         # ~4 ms RTT per timed loop (~0.1 ms/step at steps=30), included
         # in the reported time.
-        assert np.isfinite(float(loss))
+        loss_val = float(loss)  # the readback itself must never be stripped
+        if not np.isfinite(loss_val):  # (python -O removes asserts)
+            raise RuntimeError(f"non-finite loss in timed loop: {loss_val}")
         dts.append((time.time() - t0) / steps)
     dt = float(np.median(dts))
     if len(dts) > 1:
@@ -184,7 +186,11 @@ def main(batch_size=4096, steps=30, warmup=2, bert_layers=4,
     from multimodal_transformer_robustness_tpu.flops import (
         count_params, device_peak_flops, train_step_flops)
 
-    fl = train_step_flops(spec, bert_cfg, batch_size, [L, T, T],
+    # seq_lens derived from the spec's header kinds (not positionally
+    # hardcoded): wordpiece count L drives bert_rnn modalities, T the rest
+    seq_lens = [L if spec.header_kind(ch) == "bert_rnn" else T
+                for ch in spec.modality_set]
+    fl = train_step_flops(spec, bert_cfg, batch_size, seq_lens,
                           cached_text=cached_text,
                           n_params=count_params(params))
     tflops = fl.total / dt / 1e12

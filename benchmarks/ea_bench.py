@@ -1,18 +1,19 @@
 """EA fitness at reference scale: generation wall-clock on the chip.
 
 The reference's EvolutionSearch evaluates each genome with a FULL
-validation pass (EA.py:93-137, 149-169): population 100 x 200 generations
-= 20k validation epochs, serial.  Ours stacks the whole generation on a
-config axis and evaluates it in one dispatch per data batch
-(train/ea.py::eval_population).  This benchmark runs the reference-default
-population on the MOSEI-size model and records:
-  (a) seed + per-generation wall-clock (batched fitness);
-  (b) a measured serial-fitness estimate (same jitted eval step, one
-      genome at a time) extrapolated to the population.
+validation pass (EA.py:93-137, 149-169) over the full BERT-text model:
+population 100 x 200 generations = 20k validation epochs, serial.  Ours
+stacks the whole generation on a config axis and evaluates it in one
+dispatch per data batch (train/ea.py::eval_population, with the
+config-invariant header prefix — frozen BERT included — hoisted out of the
+config axis) — generations cost ~one validation pass.
 
-Mirrors sweep_bench.py conventions (RNN text header: BERT is a frozen
-feature extractor, identical work on both sides; the EA cost is the
-supernet).  Appends one JSON line to stdout; paste into BENCH_NOTES.md.
+``--text_header bert`` (default) is the TRUE flagship configuration
+(VERDICT r4 #1: earlier rounds measured the rnn-header variant); ``cached``
+measures the --cache_text pipeline; ``rnn`` keeps the pre-r5 configuration
+for cross-round comparison.
+
+Appends one JSON line to stdout; paste into BENCH_NOTES.md.
 
 Run on the TPU: ``python benchmarks/ea_bench.py [--population 100]``
 """
@@ -36,6 +37,9 @@ def main(argv=None):
     p.add_argument("--eval_batch", type=int, default=256)
     p.add_argument("--population", type=int, default=100)
     p.add_argument("--generations", type=int, default=3)
+    p.add_argument("--text_header", default="bert",
+                   choices=["bert", "cached", "rnn"])
+    p.add_argument("--bert_layers", type=int, default=4)
     p.add_argument("--serial_probe", type=int, default=4,
                    help="genomes to time serially for the estimate")
     p.add_argument("--full_search", action="store_true",
@@ -45,46 +49,27 @@ def main(argv=None):
                         "'est' on the EA line)")
     args = p.parse_args(argv)
 
-    import jax
-
     from multimodal_transformer_robustness_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    from multimodal_transformer_robustness_tpu import ModelSpec
-    from multimodal_transformer_robustness_tpu.data.loaders import (
-        ArrayDataset, BatchIterator)
-    from multimodal_transformer_robustness_tpu.models import init_supernet
     from multimodal_transformer_robustness_tpu.train import TrainHParams, Trainer
     from multimodal_transformer_robustness_tpu.train.ea import (
         EAHParams, EvolutionSearch)
+    from _flagship import build
 
-    spec = ModelSpec(
-        modality_set=("t", "a", "v"), orig_dimensions=(768, 768, 512),
-        dimension=args.dim, num_heads=8, head_dim=25, layers_single_attn=3,
-        layers_cross_attn=4, layers_self_attn=2,
-        attn_dropout=(0.1, 0.1, 0.0, 0.0), relu_dropout=0.1, res_dropout=0.3,
-        out_dropout=0.1, embed_dropout=0.3, attn_mask=True, output_dim=1,
-        header_overrides={"t": "rnn"})
-    params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
-
-    rng = np.random.default_rng(0)
-    T = 50
-    ds = ArrayDataset(
-        [rng.standard_normal((args.rows, T, d)).astype(np.float32)
-         for d in spec.orig_dimensions],
-        rng.standard_normal((args.rows, 1)).astype(np.float32),
-        dims=list(spec.orig_dimensions), seq_len=T)
-    valid = BatchIterator(ds, args.eval_batch)
-    test = BatchIterator(ds, args.eval_batch)
+    spec, params, frozen, bert_cfg, dev_batches, loader = build(
+        args.text_header, args.rows, args.dim, args.eval_batch,
+        bert_layers=args.bert_layers, with_loader=True)
 
     hp = TrainHParams(dataset="mosei_senti", criterion="L1Loss",
                       experiment_type="random_sample")
-    trainer = Trainer(spec, params, frozen, hp)
+    trainer = Trainer(spec, params, frozen, hp, bert_cfg=bert_cfg)
     ea = EvolutionSearch(
         trainer,
         EAHParams(population_size=args.population,
                   max_time_budget=args.generations),
-        active_modality=[0, 1, 2], valid_loader=valid, test_loader=test)
+        active_modality=[0, 1, 2], valid_loader=loader, test_loader=loader,
+        device_batches=dev_batches)
 
     # ---- batched generations (the search loop, timed per generation) ------
     genomes = [ea.random_genome() for _ in range(args.population)]
@@ -110,6 +95,7 @@ def main(argv=None):
     gen_s = float(np.mean(gen_times))
     print(json.dumps({
         "metric": "mosei_ea_generation_wall_clock",
+        "text_header": args.text_header,
         "population": args.population,
         "rows": args.rows,
         "seed_generation_s": round(seed_s, 2),
@@ -131,12 +117,14 @@ def main(argv=None):
             trainer,
             EAHParams(population_size=args.population, max_time_budget=200,
                       seed=1111),
-            active_modality=[0, 1, 2], valid_loader=valid, test_loader=test)
+            active_modality=[0, 1, 2], valid_loader=loader,
+            test_loader=loader, device_batches=dev_batches)
         t0 = time.time()
         best_valids = ea_full.search(verbose=False)[0]
         full_s = time.time() - t0
         print(json.dumps({
             "metric": "mosei_ea_full_search_wall_clock",
+            "text_header": args.text_header,
             "population": args.population,
             "generations": 200,
             "rows": args.rows,

@@ -3,14 +3,24 @@
 The reference runs, for every modality subset, a serial grid of full
 validation passes (train.py:250-405): for MOSEI run.sh (M=3, L_single=3,
 random_sample) that is 860 validation epochs — 3x20 single-modality +
-3x(20x13) two-modality + 20 three-modality (depth-combos x topologies).
+3x(20x13) two-modality + 20 three-modality (depth-combos x topologies) — on
+the FULL BERT-text model (built at src/dynamic_models2.py:138-149).
 
 This benchmark measures, on the same model/data:
-  (a) our batched sweep (configs stacked + vmapped per data batch);
+  (a) our batched sweep (configs stacked + vmapped per data batch, with the
+      config-invariant header prefix — frozen BERT included — hoisted out of
+      the config axis, train/loop.py::eval_step_sweep);
   (b) a serial-config sweep using the same jitted eval step (what a naive
       JAX port would do);
 and reports the reference-equivalent count of validation passes.  Results
 append to BENCH_NOTES.md.
+
+``--text_header bert`` (default) is the TRUE flagship configuration — the
+frozen 4-layer BERT text header with token inputs, matching what the
+reference sweeps.  ``cached`` measures the --cache_text pipeline; ``rnn``
+keeps the pre-r5 feature-stream variant for cross-round comparison
+(VERDICT r4 #1 / Weak #1: the rnn numbers were previously presented as the
+flagship's).
 
 Run on the TPU: ``python benchmarks/sweep_bench.py [--rows 2048] [--dim 200]``
 """
@@ -34,48 +44,30 @@ def main(argv=None):
     p.add_argument("--dim", type=int, default=200)
     p.add_argument("--eval_batch", type=int, default=256)
     p.add_argument("--cfg_chunk", type=int, default=32)
+    p.add_argument("--text_header", default="bert",
+                   choices=["bert", "cached", "rnn"])
+    p.add_argument("--bert_layers", type=int, default=4)
     p.add_argument("--skip_serial", action="store_true")
     args = p.parse_args(argv)
-
-    import jax
 
     from multimodal_transformer_robustness_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    import jax
     import jax.numpy as jnp
 
-    from multimodal_transformer_robustness_tpu import ModelSpec
-    from multimodal_transformer_robustness_tpu.data.loaders import ArrayDataset, BatchIterator
     from multimodal_transformer_robustness_tpu.masks import build_masks
-    from multimodal_transformer_robustness_tpu.models import init_supernet
     from multimodal_transformer_robustness_tpu.train import TrainHParams, Trainer
     from multimodal_transformer_robustness_tpu.train import sweep as sweep_mod
+    from _flagship import build
 
-    # MOSEI run.sh architecture with RNN headers (text as a plain feature
-    # stream: BERT is a frozen feature extractor and identical on both sides;
-    # the sweep cost is the supernet, not the header)
-    spec = ModelSpec(
-        modality_set=("t", "a", "v"), orig_dimensions=(768, 768, 512),
-        dimension=args.dim, num_heads=8, head_dim=25, layers_single_attn=3,
-        layers_cross_attn=4, layers_self_attn=2,
-        attn_dropout=(0.1, 0.1, 0.0, 0.0), relu_dropout=0.1, res_dropout=0.3,
-        out_dropout=0.1, embed_dropout=0.3, attn_mask=True, output_dim=1,
-        header_overrides={"t": "rnn"})
-    params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
-
-    rng = np.random.default_rng(0)
-    T = 50
-    ds = ArrayDataset(
-        [rng.standard_normal((args.rows, T, d)).astype(np.float32)
-         for d in spec.orig_dimensions],
-        rng.standard_normal((args.rows, 1)).astype(np.float32),
-        dims=list(spec.orig_dimensions), seq_len=T)
-    valid = BatchIterator(ds, args.eval_batch)
-    test = BatchIterator(ds, args.eval_batch)
+    spec, params, frozen, bert_cfg, dev_valid = build(
+        args.text_header, args.rows, args.dim, args.eval_batch,
+        bert_layers=args.bert_layers)
 
     hp = TrainHParams(dataset="mosei_senti", criterion="L1Loss",
                       experiment_type="random_sample")
-    trainer = Trainer(spec, params, frozen, hp)
+    trainer = Trainer(spec, params, frozen, hp, bert_cfg=bert_cfg)
 
     # count the reference-equivalent validation passes
     n_cfgs = 0
@@ -84,8 +76,8 @@ def main(argv=None):
             spec, "random_sample", subset)
         n_cfgs += len(sweep_mod.depth_combos(spec, "random_sample")) * len(cands)
 
-    # upload eval data once (resident-data serving scenario), warm compiles
-    dev_valid = sweep_mod.upload_eval_batches(BatchIterator(ds, args.eval_batch))
+    # eval data is device-resident (resident-data serving scenario; the
+    # builder uploaded it once); first sweep warms the compile cache
     t0 = time.time()
     _ = sweep_mod.missing_modality_sweep(
         trainer, None, None, quiet=True, max_cfg_chunk=args.cfg_chunk,
@@ -104,8 +96,7 @@ def main(argv=None):
         from multimodal_transformer_robustness_tpu.config import ActiveConfig
 
         flags = jnp.ones((spec.modality_num,), jnp.float32)
-        dev_batches = [[jnp.asarray(x) for x in b.inputs]
-                       for b in BatchIterator(ds, args.eval_batch)]
+        dev_batches = [b[0] for b in dev_valid]
 
         def serial_pass():
             for subset in sweep_mod.subset_choices(spec, "random_sample"):
@@ -136,6 +127,7 @@ def main(argv=None):
 
     out = {
         "metric": "mosei_missing_modality_sweep_wall_clock",
+        "text_header": args.text_header,
         "configs_evaluated": n_cfgs,
         "rows": args.rows,
         "batched_sweep_s": round(t_batched, 2),

@@ -2,8 +2,10 @@
 
 Ports of reference src/data_utils.py:21-282: time-series noise (gaussian /
 random drop / structured drop) and the 10 PIL visual corruptions, with the
-same defaults and application order.  Host-side numpy/PIL — these run in the
-input pipeline, never on device.
+same defaults and application order, plus the ``periodic`` injector rebuilt
+to its intended semantics over synthesized patterns (the reference's own
+copy is unrunnable — see :func:`periodic`).  Host-side numpy/PIL — these
+run in the input pipeline, never on device.
 """
 
 from __future__ import annotations
@@ -214,6 +216,55 @@ def _random_crop(img, p, rng):
         return img.crop((iw, ih, width - cw + iw, height - ch + ih)).resize(
             (height, width))
     return img
+
+
+def synth_periodic_patterns(size: int = 256) -> List[np.ndarray]:
+    """Six deterministic sinusoidal-grating RGBA patterns — synthesized
+    stand-ins for the reference's ``periodic_noise_{1..6}.png`` assets,
+    which were never shipped with the repo (data_utils.py:271-282 opens
+    them from the working directory).  "Periodic noise" in the imaging
+    literature is sinusoidal interference; six gratings spanning low→high
+    spatial frequency at varied orientations cover the same corruption
+    family the filenames imply."""
+    freqs = (4, 8, 12, 16, 24, 32)
+    thetas = (0.0, 45.0, 90.0, 135.0, 30.0, 60.0)
+    y, x = np.mgrid[0:size, 0:size] / float(size)
+    out = []
+    for f, deg in zip(freqs, thetas):
+        t = np.deg2rad(deg)
+        phase = 2.0 * np.pi * f * (x * np.cos(t) + y * np.sin(t))
+        g = ((np.sin(phase) + 1.0) * 127.5).astype(np.uint8)
+        out.append(np.stack([g, g, g, np.full_like(g, 255)], axis=-1))
+    return out
+
+
+def periodic(img, rng: np.random.Generator | None = None,
+             patterns: List[np.ndarray] | None = None):
+    """Expose the image to periodic pattern noise — the INTENDED semantics
+    of reference data_utils.py:271-282, rebuilt (the reference's own copy is
+    unrunnable: its PNG assets are missing and it calls rotate/random_crop
+    with the wrong signatures — PARITY.md "periodic").
+
+    For each of the six patterns: upsample to 2×(W, H), rotate by a uniform
+    random angle in [0, 360) on a white ground, crop a random (W, H) window,
+    and alpha-blend over the image at 0.3 in RGBA.  Returns the list of six
+    corrupted variants (the reference returns one blend per pattern file)."""
+    from PIL import Image
+
+    rng = rng or np.random.default_rng()
+    patterns = patterns if patterns is not None else synth_periodic_patterns()
+    w, h = img.width, img.height
+    base = img.convert("RGBA")
+    out = []
+    for arr in patterns:
+        noise = Image.fromarray(arr).convert("RGBA").resize((w * 2, h * 2))
+        noise = noise.rotate(rng.random() * 360.0, Image.BILINEAR,
+                             fillcolor="white")
+        ix = rng.random() * w  # random (w, h) window of the 2x canvas
+        iy = rng.random() * h
+        noise = noise.crop((ix, iy, ix + w, iy + h))
+        out.append(Image.blend(base, noise, 0.3))
+    return out
 
 
 def compute_weights(example_topics: List[str], topic2idx: dict):

@@ -46,6 +46,12 @@ from .models.bert import BertConfig
 # Keyed by a prefix of jax's device_kind.  v5e: 197 TFLOP/s bf16
 # (394 int8); v4: 275; v5p: 459.  f32 matmuls run through the same MXU via
 # multi-pass passes, so MFU-vs-bf16-peak is the honest denominator either way.
+# int8 cells (--bert_int8): the int8 FFN dots run at ~2x the bf16 peak, so
+# MFU-vs-bf16-peak OVERSTATES utilization for the int8-dot fraction of the
+# step (~30% of online FLOPs at the flagship config).  We keep the bf16
+# denominator for cross-cell comparability and flag it here rather than
+# blending per-dot peaks; treat int8-cell MFU as a throughput ratio, not a
+# hardware-utilization claim.
 PEAK_BF16_FLOPS = {
     "TPU v5 lite": 197e12,  # v5e
     "TPU v5e": 197e12,
@@ -60,6 +66,12 @@ def device_peak_flops(device) -> Optional[float]:
     for prefix, peak in PEAK_BF16_FLOPS.items():
         if kind.startswith(prefix):
             return peak
+    if kind.startswith("TPU"):
+        import sys
+
+        print(f"flops.device_peak_flops: unrecognized device_kind "
+              f"{kind!r} — no entry in PEAK_BF16_FLOPS, MFU omitted",
+              file=sys.stderr)
     return None
 
 

@@ -47,7 +47,10 @@ Genome = List  # [active_cross, active_cross_output]
 class EvolutionSearch:
     def __init__(self, trainer, hp: EAHParams, active_modality: Sequence[int],
                  valid_loader, test_loader, base_cfg: Optional[ActiveConfig] = None,
-                 max_cfg_chunk: int = 64):
+                 max_cfg_chunk: int = 64, device_batches=None):
+        """``device_batches``: pre-uploaded fitness batches in
+        upload_eval_batches format — callers with device-resident eval data
+        (benchmarks, repeated searches) pass them instead of a loader."""
         self.trainer = trainer
         self.spec: ModelSpec = trainer.spec
         self.hp = hp
@@ -57,6 +60,7 @@ class EvolutionSearch:
         self.base_cfg = base_cfg or full_active_config(self.spec)
         self.rng = np.random.default_rng(hp.seed)
         self.max_cfg_chunk = max_cfg_chunk
+        self._dev_batches = device_batches
 
     # ---- genome ops (EA.py:44-73) -----------------------------------------
     def random_genome(self) -> Genome:

@@ -107,6 +107,37 @@ def test_noise_injectors():
     np.testing.assert_array_equal(clean[0], imgs[0])
 
 
+def test_periodic_noise_injector():
+    """Rebuilt periodic injector (reference data_utils.py:271-282 intended
+    semantics; the reference's own copy is unrunnable — PARITY.md)."""
+    from PIL import Image
+
+    from multimodal_transformer_robustness_tpu.data.noise import (
+        periodic, synth_periodic_patterns)
+
+    pats = synth_periodic_patterns(size=64)
+    assert len(pats) == 6
+    for p in pats:
+        assert p.shape == (64, 64, 4) and p.dtype == np.uint8
+        # genuinely periodic: each grating uses its full dynamic range
+        assert p[..., 0].min() <= 5 and p[..., 0].max() >= 250
+    # deterministic stand-ins for the fixed PNG assets
+    np.testing.assert_array_equal(pats[0], synth_periodic_patterns(64)[0])
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray((np.random.default_rng(1).random((20, 24, 3))
+                           * 255).astype(np.uint8))
+    out = periodic(img, rng=rng)
+    assert len(out) == 6
+    for v in out:
+        assert v.size == img.size and v.mode == "RGBA"
+    # blend actually corrupts (alpha 0.3 over a non-constant grating)
+    assert not np.array_equal(np.array(out[0].convert("RGB")), np.array(img))
+    # seeded reproducibility
+    again = periodic(img, rng=np.random.default_rng(0))
+    np.testing.assert_array_equal(np.array(out[3]), np.array(again[3]))
+
+
 def test_multibench_pickle_loader(tmp_path):
     import pickle
 
