@@ -186,10 +186,10 @@ class StreamingPredictor:
 
         self._fwd = jax.jit(fwd)
 
-    def predict(self, text_tokens, audio_feats: np.ndarray,
-                face_feats: np.ndarray) -> float:
-        import jax.numpy as jnp
-
+    def prepare(self, text_tokens, audio_feats: np.ndarray,
+                face_feats: np.ndarray):
+        """Host-side stage: tokenize + bucket + pad.  Returns the [3,1,L]
+        token stack and the padded audio/vision feature arrays."""
         # tokenize FIRST, bucket on the wordpiece count: OOV/long words
         # expand to several pieces, so bucketing on the whitespace word
         # count would let encode_plus silently truncate the transcript tail
@@ -207,10 +207,24 @@ class StreamingPredictor:
         audio[:, : audio_feats.shape[1]] = audio_feats
         vision = np.zeros((1, tv, d_v), np.float32)
         vision[:, : face_feats.shape[1]] = face_feats
+        return text, audio, vision
+
+    def forward(self, text: np.ndarray, audio: np.ndarray,
+                vision: np.ndarray) -> float:
+        """Device stage: dispatch the bucketed jit + host readback (the
+        float() is the only synchronization that provably waits through the
+        axon tunnel — see BENCH_NOTES 'Timing protocol')."""
+        import jax.numpy as jnp
+
         out = self._fwd(self.params, self.masks, self.frozen,
                         [jnp.asarray(text), jnp.asarray(audio),
                          jnp.asarray(vision)])
         return float(np.asarray(out)[0, 0])
+
+    def predict(self, text_tokens, audio_feats: np.ndarray,
+                face_feats: np.ndarray) -> float:
+        return self.forward(*self.prepare(text_tokens, audio_feats,
+                                          face_feats))
 
 
 def main(argv=None):
