@@ -53,7 +53,14 @@ def _rnn_header_tmajor(params: dict, x: jnp.ndarray,
     from ..ops.bigru_pallas import (bigru_finals_tmajor, bigru_level_tmajor)
 
     x_t = jnp.swapaxes(x, 0, 1)                       # [T, B, in] once
-    hs1 = bigru_level_tmajor(params["gru1"], x_t, interpret)   # [T, B, d]
+    # need_dx=False: gru1's input is the header's own input — raw modality
+    # features or frozen-BERT outputs, with NOTHING trainable upstream in
+    # any production wiring (models/mult.py feeds headers straight from the
+    # data-boundary inputs) — so its input-gradient is structurally dead and
+    # the backward kernel skips the projection-sized dx dots + [T, B, in]
+    # writes (~5 ms/step at the B=4096 cached operating point)
+    hs1 = bigru_level_tmajor(params["gru1"], x_t, interpret,
+                             need_dx=False)           # [T, B, d]
     d = hs1.shape[-1]
     hs1 = masked_layer_norm(hs1, jnp.ones((d,), hs1.dtype),
                             jnp.zeros((d,), hs1.dtype))

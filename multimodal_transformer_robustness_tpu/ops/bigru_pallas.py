@@ -156,9 +156,17 @@ def _fwd_impl(x, wp, wt, bc, bhn, *, reverse: bool, interpret: bool):
 # backward (one direction)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(x_ref, hs, hs_nbr, dhs, wp, wt, bc, bhn,
-                dx_ref, dwp_ref, dwt_ref, dbc_ref, dbhn_ref, dh_ref,
-                *, kt: int, reverse: bool, n_rows: int, nblk: int):
+def _bwd_kernel(x_ref, hs, hs_nbr, dhs, wp, wt, bc, bhn, *refs,
+                kt: int, reverse: bool, n_rows: int, nblk: int,
+                need_dx: bool):
+    if need_dx:
+        dx_ref, dwp_ref, dwt_ref, dbc_ref, dbhn_ref, dh_ref = refs
+    else:
+        # input-gradient output elided: the caller declared x's cotangent
+        # structurally dead (see gru_dir_pallas docstring) — the dx dots
+        # (projection-sized, the largest backward matmuls) and the [T, N, in]
+        # HBM writes are skipped entirely
+        dwp_ref, dwt_ref, dbc_ref, dbhn_ref, dh_ref = refs
     bb = pl.program_id(0)
     tt = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -249,12 +257,13 @@ def _bwd_kernel(x_ref, hs, hs_nbr, dhs, wp, wt, bc, bhn,
     da_r, da_z, da_n, dghn, h_prev = [
         jnp.stack(lst).reshape(k_ * n_, -1) for lst in lists]
 
-    # dx for the block: three contractions against the projection weights
-    ct_in = (((1,), (1,)), ((), ()))
-    dx = (jax.lax.dot_general(da_r, wp[0], ct_in, preferred_element_type=f32)
-          + jax.lax.dot_general(da_z, wp[1], ct_in, preferred_element_type=f32)
-          + jax.lax.dot_general(da_n, wp[2], ct_in, preferred_element_type=f32))
-    dx_ref[:] = dx.reshape(k_, n_, i_).astype(dx_ref.dtype)
+    if need_dx:
+        # dx for the block: three contractions against the projection weights
+        ct_in = (((1,), (1,)), ((), ()))
+        dx = (jax.lax.dot_general(da_r, wp[0], ct_in, preferred_element_type=f32)
+              + jax.lax.dot_general(da_z, wp[1], ct_in, preferred_element_type=f32)
+              + jax.lax.dot_general(da_n, wp[2], ct_in, preferred_element_type=f32))
+        dx_ref[:] = dx.reshape(k_, n_, i_).astype(dx_ref.dtype)
 
     # weight/bias gradients accumulate across the whole grid (revisited
     # constant-index output blocks stay VMEM-resident between steps; the
@@ -272,12 +281,13 @@ def _bwd_kernel(x_ref, hs, hs_nbr, dhs, wp, wt, bc, bhn,
     dbhn_ref[:] += jnp.sum(dghn.astype(f32), axis=0)
 
 
-def _bwd_impl(x, hs, dhs, wp, wt, bc, bhn, *, reverse: bool, interpret: bool):
+def _bwd_impl(x, hs, dhs, wp, wt, bc, bhn, *, reverse: bool, interpret: bool,
+              need_dx: bool = True):
     t, n, in_dim = x.shape
     h = wt.shape[-1]
     # big: x, dx; small: hs, hs_nbr, dhs (+ per-step register stacks)
     kt, nblk = _pick_blocks(t, n, h, in_dim, x.dtype.itemsize,
-                            big_bufs=2, small_bufs=14)
+                            big_bufs=2 if need_dx else 1, small_bufs=14)
     nt = t // kt
     grid = (_cdiv(n, nblk), nt)
 
@@ -292,16 +302,19 @@ def _bwd_impl(x, hs, dhs, wp, wt, bc, bhn, *, reverse: bool, interpret: bool):
 
     f32 = jnp.float32
     out_shapes = [
-        jax.ShapeDtypeStruct((t, n, in_dim), x.dtype),   # dx
         jax.ShapeDtypeStruct((3, in_dim, h), f32),       # dwp
         jax.ShapeDtypeStruct((3, h, h), f32),            # dwt
         jax.ShapeDtypeStruct((3, h), f32),               # dbc
         jax.ShapeDtypeStruct((h,), f32),                 # dbhn
     ]
     const = lambda *shape: pl.BlockSpec(shape, lambda b, tt: (0,) * len(shape))
-    return pl.pallas_call(
+    out_specs = [const(3, in_dim, h), const(3, h, h), const(3, h), const(h)]
+    if need_dx:
+        out_shapes.insert(0, jax.ShapeDtypeStruct((t, n, in_dim), x.dtype))
+        out_specs.insert(0, pl.BlockSpec((kt, nblk, in_dim), smap))
+    outs = pl.pallas_call(
         functools.partial(_bwd_kernel, kt=kt, reverse=reverse, n_rows=n,
-                          nblk=nblk),
+                          nblk=nblk, need_dx=need_dx),
         grid=grid,
         in_specs=[
             pl.BlockSpec((kt, nblk, in_dim), smap),
@@ -313,23 +326,21 @@ def _bwd_impl(x, hs, dhs, wp, wt, bc, bhn, *, reverse: bool, interpret: bool):
             pl.BlockSpec((3, h), lambda b, tt: (0, 0)),
             pl.BlockSpec((h,), lambda b, tt: (0,)),
         ],
-        out_specs=[
-            pl.BlockSpec((kt, nblk, in_dim), smap),
-            const(3, in_dim, h), const(3, h, h), const(3, h), const(h),
-        ],
+        out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((nblk, h), jnp.float32)],
         interpret=interpret,
     )(x, hs, hs, dhs, wp, wt, bc, bhn)
+    return outs if need_dx else (None, *outs)
 
 
 # ---------------------------------------------------------------------------
 # custom-VJP single-direction GRU
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def gru_dir_pallas(x, wp, wt, bc, bhn, reverse: bool = False,
-                   interpret: bool = False):
+                   interpret: bool = False, need_dx: bool = True):
     """One direction of a GRU layer, fully fused (projection + recurrence).
 
     Args:
@@ -341,20 +352,34 @@ def gru_dir_pallas(x, wp, wt, bc, bhn, reverse: bool = False,
       bc:  [3, H] input-side biases: combined ``b_ix + b_hx`` for r and z,
            ``b_in`` alone for n.
       bhn: [H] ``b_hn`` (applied inside the ``r ·`` term).
+      need_dx: STATIC.  False declares x's cotangent structurally dead —
+           nothing trainable sits upstream of x (a first-level GRU over raw
+           features or frozen-BERT outputs, the production header wiring).
+           The backward kernel then skips the three projection-sized dx
+           contractions and the [T, B, in] dx write (the largest backward
+           matmuls + HBM traffic at header shapes), and the VJP returns a
+           symbolic-zero cotangent (``jnp.zeros_like(x)``) that XLA DCEs
+           when — per the caller's declaration — nobody consumes it.
+           Setting it False under an x that DOES need gradients silently
+           zeroes them; only set it where deadness is an architectural
+           invariant.
     Returns hidden states ``[T, B, H]`` in storage (un-reversed) time order.
     """
     return _fwd_impl(x, wp, wt, bc, bhn, reverse=reverse, interpret=interpret)
 
 
-def _vjp_fwd(x, wp, wt, bc, bhn, reverse, interpret):
+def _vjp_fwd(x, wp, wt, bc, bhn, reverse, interpret, need_dx):
     hs = _fwd_impl(x, wp, wt, bc, bhn, reverse=reverse, interpret=interpret)
     return hs, (x, wp, wt, bc, bhn, hs)
 
 
-def _vjp_bwd(reverse, interpret, res, dhs):
+def _vjp_bwd(reverse, interpret, need_dx, res, dhs):
     x, wp, wt, bc, bhn, hs = res
     dx, dwp, dwt, dbc, dbhn = _bwd_impl(
-        x, hs, dhs, wp, wt, bc, bhn, reverse=reverse, interpret=interpret)
+        x, hs, dhs, wp, wt, bc, bhn, reverse=reverse, interpret=interpret,
+        need_dx=need_dx)
+    if dx is None:
+        dx = jnp.zeros_like(x)
     return (dx, dwp.astype(wp.dtype), dwt.astype(wt.dtype),
             dbc.astype(bc.dtype), dbhn.astype(bhn.dtype))
 
@@ -379,14 +404,16 @@ def _dir_operands(p: dict):
 
 
 def bigru_level_tmajor(params: dict, x_t: jnp.ndarray,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       need_dx: bool = True) -> jnp.ndarray:
     """One bidirectional GRU level, T-major: ``x_t [T, B, in]`` ->
     ``hs [T, B, 2H]`` (fwd‖bwd, storage time order — torch's
-    ``bidirectional=True`` output layout)."""
+    ``bidirectional=True`` output layout).  ``need_dx=False`` declares
+    ``x_t``'s gradient structurally dead (see gru_dir_pallas)."""
     hs_f = gru_dir_pallas(x_t, *_dir_operands(params["fwd"]),
-                          False, interpret)
+                          False, interpret, need_dx)
     hs_b = gru_dir_pallas(x_t, *_dir_operands(params["bwd"]),
-                          True, interpret)
+                          True, interpret, need_dx)
     return jnp.concatenate([hs_f, hs_b], axis=-1)
 
 

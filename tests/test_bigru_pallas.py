@@ -141,3 +141,37 @@ def test_bigru_bf16_grads_track_f32():
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
         assert cos > 0.995, cos
         assert 0.8 < np.linalg.norm(b) / (np.linalg.norm(a) + 1e-30) < 1.25
+
+
+def test_bigru_need_dx_false_param_grads_unchanged():
+    """need_dx=False (the production first-level wiring: nothing trainable
+    upstream of the header input) must leave every PARAM gradient
+    bit-identical to need_dx=True and match the lax.scan oracle — only the
+    structurally-dead input cotangent is elided (returned as zeros)."""
+    rng = np.random.default_rng(5)
+    B, T, I, H = 3, 8, 5, 9
+    params = init_bigru(jax.random.PRNGKey(4), I, H)
+    x = jnp.asarray(rng.standard_normal((B, T, I)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((B, T, 2 * H)), jnp.float32)
+
+    def loss_ref(p):
+        o, _ = bigru_forward(p, x)
+        return jnp.sum(jnp.sin(o) * tgt)
+
+    def loss_new(p, need_dx):
+        hs = bigru_level_tmajor(p, jnp.swapaxes(x, 0, 1), interpret=True,
+                                need_dx=need_dx)
+        return jnp.sum(jnp.sin(jnp.swapaxes(hs, 0, 1)) * tgt)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_t = jax.grad(lambda p: loss_new(p, True))(params)
+    g_f = jax.grad(lambda p: loss_new(p, False))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(g_t), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=0)
+    gx = jax.grad(lambda xx: jnp.sum(bigru_level_tmajor(
+        params, jnp.swapaxes(xx, 0, 1), interpret=True, need_dx=False)))(x)
+    assert float(jnp.abs(gx).max()) == 0.0
