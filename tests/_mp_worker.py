@@ -6,6 +6,17 @@ global_batch_from_local inside the step wrappers) -> one fit() epoch with
 cross-process evaluate gathers.
 
 Prints one json line: {"pid": ..., "curve": [[val, test]]}.
+
+Modes (argv[4], default "dp"):
+  * ``dp``   — 2 local devices, pure data parallelism (DCN dp x ICI dp):
+               global mesh dp=4.  Cross-process collectives: gradient psum
+               + evaluate allgathers over dp.
+  * ``dpmp`` — 4 local devices, HYBRID dp x mp (VERDICT r4 next #4: past the
+               2-process smoke): ICI dp=2 x mp=2 per process, dp stretched
+               over DCN -> global mesh dp=4 x mp=2.  Tensor-parallel param
+               shards stay process-local (mp rides "ICI"); only the dp
+               gradient psum crosses processes — the production TPU-pod
+               layout (SURVEY.md §5), exercised end to end on CPU+gloo.
 """
 
 import json
@@ -15,7 +26,10 @@ import sys
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "dp"
+    n_local = {"dp": 2, "dpmp": 4}[mode]
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_local}")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -38,8 +52,16 @@ def main():
     spec = make_spec()
     params, frozen = init_supernet(jax.random.PRNGKey(0), spec)
 
-    mesh = make_multihost_mesh((("dp", -1),))  # 2 local x 2 DCN = global dp 4
-    assert mesh.devices.size == nproc * 2
+    if mode == "dpmp":
+        # ICI dp=2 x mp=2 within each process, dp additionally x nproc over
+        # DCN: global dp=4 x mp=2 across 8 devices
+        mesh = make_multihost_mesh((("dp", -1), ("mp", 2)))
+        assert mesh.axis_names == ("dp", "mp")
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "dp": 2 * nproc, "mp": 2}
+    else:
+        mesh = make_multihost_mesh((("dp", -1),))  # 2 local x 2 DCN = dp 4
+    assert mesh.devices.size == nproc * n_local
 
     trainer = Trainer(spec, params, frozen, make_hparams(), mesh=mesh)
 
