@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 
 def main(batch_size=4096, steps=30, warmup=2, bert_layers=4,
          compute_dtype="bfloat16", cached_text=False, emit_json=True,
-         prng="rbg", repeats=3, bert_int8=False):
+         prng="rbg", repeats=3, bert_int8=False, feed_f32=False):
     """One measured train-throughput config.  Defaults = the headline:
     throughput-optimal batch (4096 since the 2026-08-19 post-kernel-flip
     sweep — B=1024 before; BENCH_NOTES.md) with the bf16 compute policy
@@ -86,11 +86,20 @@ def main(batch_size=4096, steps=30, warmup=2, bert_layers=4,
 
     B, T, L = batch_size, 50, 32
     rng = np.random.default_rng(0)
+    # float modality feeds arrive ALREADY in the compute dtype (the data
+    # pipeline stores/uploads bf16 under the bf16 policy — data/loaders.py
+    # cast_float_inputs): supernet_apply's boundary cast is the first op to
+    # touch these inputs, so pre-casting is bit-identical
+    # (tests/test_bf16_policy.py::test_precast_feed_bit_identical) while the
+    # upload + the per-step header transpose move half the bytes and the
+    # on-device cast pass disappears.  --feed_f32 restores the r4 behavior
+    # (the A/B control).
+    feed_dt = jnp.float32 if feed_f32 else jnp.dtype(compute_dtype)
     text = jnp.asarray(np.stack([
         rng.integers(0, bert_cfg.vocab_size, (B, L)),
         np.zeros((B, L), np.int64), np.ones((B, L), np.int64)]))
-    audio = jnp.asarray(rng.standard_normal((B, T, 768)), jnp.float32)
-    vision = jnp.asarray(rng.standard_normal((B, T, 512)), jnp.float32)
+    audio = jnp.asarray(rng.standard_normal((B, T, 768)), feed_dt)
+    vision = jnp.asarray(rng.standard_normal((B, T, 512)), feed_dt)
     labels = jnp.asarray(rng.standard_normal((B, 1)), jnp.float32)
     inputs = [text, audio, vision]
     if cached_text:
@@ -104,7 +113,9 @@ def main(batch_size=4096, steps=30, warmup=2, bert_layers=4,
         print(f"text-feature precompute: {time.time() - t0:.2f} s for "
               f"{B} rows (once per dataset, amortized over all epochs)",
               file=sys.stderr)
-        inputs = [jnp.asarray(feats), audio, vision]
+        # feats hold bf16-computed values in f32 storage (lossless), so the
+        # feed cast back to bf16 reproduces the online activations exactly
+        inputs = [jnp.asarray(feats, feed_dt), audio, vision]
 
     criterion = make_criterion("L1Loss")
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
@@ -260,7 +271,10 @@ if __name__ == "__main__":
     ap.add_argument("--repeats", type=int, default=3,
                     help="median-of-N timing loops (tunnel drift evidence; "
                          "BENCH_NOTES)")
+    ap.add_argument("--feed_f32", action="store_true",
+                    help="feed float modality inputs as f32 instead of the "
+                         "compute dtype (the pre-r5 pipeline; A/B control)")
     a = ap.parse_args()
     main(batch_size=a.batch, steps=a.steps, bert_layers=a.bert_layers,
          compute_dtype=a.dtype, cached_text=a.cached_text, prng=a.prng,
-         bert_int8=a.bert_int8, repeats=a.repeats)
+         bert_int8=a.bert_int8, repeats=a.repeats, feed_f32=a.feed_f32)

@@ -124,6 +124,31 @@ class BatchIterator:
         return Batch(inputs=inputs, labels=labels, valid=valid)
 
 
+def cast_float_inputs(dataset, dtype) -> None:
+    """Store a dataset's float modality arrays in ``dtype`` (in place).
+
+    The production use is ``dtype == ml_dtypes.bfloat16`` under the bf16
+    compute policy: ``supernet_apply``'s boundary cast is the FIRST op to
+    touch float inputs (models/mult.py ``_compute_cast``), so pre-casting at
+    the dataset is bit-identical to casting on device
+    (tests/test_bf16_policy.py::test_precast_feed_bit_identical) while the
+    host->device upload and the per-step header transpose move half the
+    bytes and the on-device cast pass disappears (measured at the B=4096
+    cached operating point — BENCH_NOTES r5).
+
+    Integer inputs (token stacks) and labels are untouched.  Handles both
+    materialized ``ArrayDataset``s and ``CachedTextDataset`` wrappers (the
+    wrapper's feature store plus its base's float arrays)."""
+    feats = getattr(dataset, "features", None)
+    if feats is not None and np.issubdtype(feats.dtype, np.floating):
+        dataset.features = feats.astype(dtype)
+    base = getattr(dataset, "base", dataset)
+    if hasattr(base, "inputs"):
+        base.inputs = [x.astype(dtype)
+                       if np.issubdtype(x.dtype, np.floating) else x
+                       for x in base.inputs]
+
+
 def get_data(dataset: str, data_path: str, split: str = "train", **kw):
     """Dataset-name dispatch (reference src/utils.py:51-72)."""
     name = dataset.strip().lower()

@@ -103,3 +103,53 @@ def test_bf16_train_grads_f32_finite_and_aligned(setup):
     cos = float(jnp.vdot(flat32, flat16)
                 / (jnp.linalg.norm(flat32) * jnp.linalg.norm(flat16) + 1e-12))
     assert cos > 0.99, f"bf16 gradient direction diverged: cos={cos:.4f}"
+
+
+def test_precast_feed_bit_identical(setup):
+    """Feeding float modality inputs ALREADY cast to the compute dtype (the
+    device-resident pipeline's store_dtype="bfloat16" and the r5 bench/host
+    feed, data/loaders.cast_float_inputs) is bit-identical to feeding f32:
+    supernet_apply's boundary cast is the first op to touch these inputs,
+    so cast(bf16(x)) == bf16(x) exactly — forward AND gradients."""
+    spec32, params, frozen, inputs = setup
+    spec16 = dataclasses.replace(spec32, compute_dtype="bfloat16")
+    masks = build_masks(spec32, full_active_config(spec32))
+    pre = [x.astype(jnp.bfloat16) for x in inputs]
+    o_f32feed = supernet_apply(spec16, params, masks, inputs, frozen=frozen)
+    o_prefeed = supernet_apply(spec16, params, masks, pre, frozen=frozen)
+    np.testing.assert_array_equal(np.asarray(o_f32feed),
+                                  np.asarray(o_prefeed))
+
+    labels = jnp.ones((4, 1), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    def loss(p, feed):
+        preds = supernet_apply(spec16, p, masks, feed, frozen=frozen,
+                               train=True, rng=key)
+        return jnp.mean(jnp.abs(preds - labels))
+
+    g_a = jax.grad(lambda p: loss(p, inputs))(params)
+    g_b = jax.grad(lambda p: loss(p, pre))(params)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cast_float_inputs_dataset_helper():
+    """data/loaders.cast_float_inputs: float arrays cast in place (plain and
+    CachedTextDataset-wrapped), integer token stacks untouched."""
+    import ml_dtypes
+
+    from multimodal_transformer_robustness_tpu.data.loaders import (
+        ArrayDataset, cast_float_inputs)
+
+    rng = np.random.default_rng(0)
+    text = rng.integers(0, 50, (8, 3, 6))
+    audio = rng.standard_normal((8, 6, 5)).astype(np.float32)
+    ds = ArrayDataset([text, audio], rng.standard_normal((8, 1)),
+                      dims=[6, 5], seq_len=6)
+    cast_float_inputs(ds, ml_dtypes.bfloat16)
+    assert ds.inputs[0].dtype == text.dtype
+    assert ds.inputs[1].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        ds.inputs[1], audio.astype(ml_dtypes.bfloat16))
+    assert ds.labels.dtype == np.float64 or ds.labels.dtype == np.float32
