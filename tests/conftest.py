@@ -28,3 +28,26 @@ jax.config.update("jax_default_matmul_precision", "highest")
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _pin_global_jax_config():
+    """Tests that drive the production CLIs in-process (test_cli_golden,
+    test_hf_bert_load, …) execute ``utils.enable_compilation_cache()`` and
+    ``utils.set_default_prng("rbg")`` — PROCESS-GLOBAL jax.config updates
+    that otherwise leak into every later test.  Measured consequences of the
+    leak (2026-08-20 full-suite run): the golden printed-output fixtures
+    diverge (per-batch config sampling draws from the global PRNG impl, so
+    rbg != the threefry the fixtures were captured under), and the persistent
+    compilation cache starts loading/storing CPU AOT executables mid-suite
+    (cross-machine entries warn about SIGILL; one cache *write* aborted the
+    whole pytest process inside put_executable_and_time).  Re-pin the suite
+    invariants before every test so ordering can't change behavior.
+    """
+    for key, val in (("jax_default_prng_impl", "threefry2x32"),
+                     ("jax_compilation_cache_dir", None),
+                     ("jax_default_matmul_precision", "highest"),
+                     ("jax_platforms", "cpu")):
+        if jax.config._read(key) != val:
+            jax.config.update(key, val)
+    yield
