@@ -7,14 +7,28 @@ v: [B, 50, 512] — and times forward+backward under a param-grad loss with a
 device-side scan loop + scalar readback (the only protocol that measures
 through the axon tunnel; see kpm_regime_bench.py).
 
-Cells:
+Cells (inputs held [B, T, in] — the layout the production step receives):
   * dx      — first-level kernels compute + write the input gradient
-              (the pre-r5 behavior: need_dx=True everywhere)
+              (the pre-r5 behavior: need_dx=True everywhere) after an
+              in-step [B,T,in]->[T,B,in] transpose
   * no_dx   — first-level input gradients declared structurally dead
-              (need_dx=False, the production header wiring): the backward
+              (need_dx=False, the r5 header wiring): the backward
               kernel skips the three projection-sized dx contractions and
-              the [T, B, in] dx HBM writes
+              the [T, B, in] dx HBM writes; transpose still paid
+  * tm      — no_dx with inputs ALREADY T-major (transposed outside the
+              timed step): the ceiling for any transpose-elision scheme —
+              the no_dx − tm delta IS the in-step [B,T,in]->[T,B,in] cost
   * fwd     — forward-only reference point (the eval/serving cost)
+
+A batch-major kernel variant (x_bmajor BlockSpecs reading [B,T,in]
+directly) was built and interpret-validated on 2026-08-20, then REJECTED
+on two measurements: (1) it cannot lower on current Mosaic at the
+flagship shapes — the x block (nblk, kt=5, in) violates the last-two-dims
+rule (second-minor must be a multiple of 8 or the full T=50, and a full-T
+block exceeds VMEM at in=768); (2) the tm ceiling cell showed the in-step
+transpose costs 0.054 ms at B=4096 (XLA fuses it into the producer), so
+even a lowering fix could win nothing.  The variant was removed rather
+than kept as an opt-in.
 
 Analytic matmul GFLOPs per cell are printed beside the measured ms so the
 MFU of the segment is explicit (flops-counting mirrors flops.py: bwd dots =
@@ -89,16 +103,21 @@ def main():
     rng = np.random.default_rng(0)
     params = {name: _init_rnn_header(jax.random.PRNGKey(i), in_dim, D)
               for i, (name, _, in_dim) in enumerate(MODALITIES)}
-    xs = {name: jnp.asarray(rng.standard_normal((t, B, in_dim)), jnp.float32)
+    # batch-major, as the production step receives its inputs (feed dtype =
+    # compute dtype per the r5 pipeline)
+    xs = {name: jnp.asarray(rng.standard_normal((B, t, in_dim)), dt)
           for name, t, in_dim in MODALITIES}
     cast = lambda tree: jax.tree.map(lambda v: v.astype(dt), tree)
     params = cast(params)
 
-    def headers(p, xs_, need_dx1):
+    def headers(p, xs_, need_dx1, layout):
+        # layout: "b" = batch-major input, transpose in-step (production);
+        #         "t" = input already T-major (transpose-elision ceiling)
         outs = []
         for name, _, _ in MODALITIES:
-            x_t = xs_[name].astype(dt)  # production boundary cast
-            hs1 = bigru_level_tmajor(p[name]["gru1"], x_t,
+            x = xs_[name].astype(dt)  # production boundary cast (no-op here)
+            arg = jnp.swapaxes(x, 0, 1) if layout == "b" else x
+            hs1 = bigru_level_tmajor(p[name]["gru1"], arg,
                                      need_dx=need_dx1)
             d = hs1.shape[-1]
             hs1 = masked_layer_norm(hs1, jnp.ones((d,), hs1.dtype),
@@ -107,13 +126,14 @@ def main():
             outs.append(bigru_finals_tmajor(hs2))
         return jnp.concatenate(outs, -1)
 
-    def make_loop(need_dx1, fwd_only, n):
+    def make_loop(need_dx1, fwd_only, n, layout="b"):
         def seg(p, xs_, c):
-            xs_ = {k: v + c for k, v in xs_.items()}
+            xs_ = {k: v + c.astype(dt) for k, v in xs_.items()}
             if fwd_only:
-                return jnp.sum(headers(p, xs_, need_dx1).astype(jnp.float32))
+                return jnp.sum(headers(p, xs_, need_dx1, layout)
+                               .astype(jnp.float32))
             loss, grads = jax.value_and_grad(
-                lambda pp: jnp.sum(headers(pp, xs_, need_dx1)
+                lambda pp: jnp.sum(headers(pp, xs_, need_dx1, layout)
                                    .astype(jnp.float32)))(p)
             return loss + sum(jnp.sum(g.astype(jnp.float32) ** 2)
                               for g in jax.tree.leaves(grads))
@@ -132,19 +152,28 @@ def main():
                 header_flops(B, True, fwd_only=True)),
         "dx": (make_loop(True, False, a.iters), header_flops(B, True)),
         "no_dx": (make_loop(False, False, a.iters), header_flops(B, False)),
+        "tm": (make_loop(False, False, a.iters, layout="t"),
+               header_flops(B, False)),
     }
+    def feed(name, xs_):  # the tm cell's transpose happens OUTSIDE the timer
+        if name != "tm":
+            return xs_
+        return {k: jnp.swapaxes(v, 0, 1) for k, v in xs_.items()}
+
     res = {name: [] for name in cells}
     for name, (loop, _) in cells.items():
         t0 = time.perf_counter()
-        float(loop(params, xs))  # compile + first exec
+        float(loop(params, feed(name, xs)))  # compile + first exec
         print(f"[compile {name}: {time.perf_counter() - t0:.1f}s]",
               flush=True)
     for _ in range(a.rounds):
         for name, (loop, _) in cells.items():
             # fresh inputs per round so the client memoizer cannot elide
             xs = {k: v + np.float32(1e-4) for k, v in xs.items()}
+            arg = feed(name, xs)
+            jax.block_until_ready(arg)
             t0 = time.perf_counter()
-            float(loop(params, xs))
+            float(loop(params, arg))
             res[name].append((time.perf_counter() - t0) / a.iters * 1e3)
     print(f"B={B} dtype={a.dtype} (median of {a.rounds} rounds x "
           f"{a.iters} iters)")
@@ -153,7 +182,10 @@ def main():
         print(f"  {name:6s} {ms:7.3f} ms  {gf:8.1f} GF  "
               f"{gf / ms:6.1f} TF/s", flush=True)
     dx, no_dx = float(np.median(res["dx"])), float(np.median(res["no_dx"]))
+    tm = float(np.median(res["tm"]))
     print(f"  no_dx saves {dx - no_dx:.3f} ms ({(1 - no_dx / dx) * 100:.1f}%)")
+    print(f"  in-step transpose costs {no_dx - tm:.3f} ms "
+          f"(no_dx - tm; ceiling for any transpose-elision scheme)")
 
 
 if __name__ == "__main__":
