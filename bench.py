@@ -87,8 +87,9 @@ def main(batch_size=4096, steps=30, warmup=2, bert_layers=4,
     B, T, L = batch_size, 50, 32
     rng = np.random.default_rng(0)
     # float modality feeds arrive ALREADY in the compute dtype (the data
-    # pipeline stores/uploads bf16 under the bf16 policy — data/loaders.py
-    # cast_float_inputs): supernet_apply's boundary cast is the first op to
+    # pipeline stores/uploads bf16 under the bf16 policy — store_dtype on the
+    # --device_data path, data/loaders.cast_float_inputs on the host path):
+    # supernet_apply's boundary cast is the first op to
     # touch these inputs, so pre-casting is bit-identical
     # (tests/test_bf16_policy.py::test_precast_feed_bit_identical) while the
     # upload + the per-step header transpose move half the bytes and the

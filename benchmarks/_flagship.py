@@ -91,27 +91,19 @@ def build(text_header: str, rows: int, dim: int, eval_batch: int,
     vision = rng.standard_normal((rows, T, 512)).astype(np.float32)
     labels = rng.standard_normal((rows, 1)).astype(np.float32)
 
-    device_batches = []
-    for s in range(0, rows, eval_batch):
-        e = min(s + eval_batch, rows)
-        if e - s < eval_batch:  # pad the tail like BatchIterator does
-            pad = eval_batch - (e - s)
-            sl = np.concatenate([np.arange(s, e),
-                                 np.full((pad,), e - 1, np.int64)])
-            keep = np.concatenate([np.ones(e - s, bool),
-                                   np.zeros(pad, bool)])
-        else:
-            sl, keep = np.arange(s, e), np.ones(eval_batch, bool)
-        t = text[:, sl] if text.ndim == 3 and text.shape[0] == 3 else text[sl]
-        device_batches.append((
-            [jnp.asarray(t), jnp.asarray(audio[sl]), jnp.asarray(vision[sl])],
-            keep, labels[sl][keep]))
-    if with_loader:
-        from multimodal_transformer_robustness_tpu.data.loaders import (
-            BatchIterator)
+    # the PRODUCTION upload path (BatchIterator tail padding +
+    # upload_eval_batches' (inputs, keep, labels[keep]) format) rather than
+    # a hand-built copy of it, so the benches can't drift from what the
+    # sweep functions actually consume
+    from multimodal_transformer_robustness_tpu.data.loaders import (
+        BatchIterator)
+    from multimodal_transformer_robustness_tpu.train.sweep import (
+        upload_eval_batches)
 
-        ds = _GatherDataset([text, audio, vision], labels,
-                            dims=(768, 768, 512), seq_len=T)
+    ds = _GatherDataset([text, audio, vision], labels,
+                        dims=(768, 768, 512), seq_len=T)
+    device_batches = upload_eval_batches(BatchIterator(ds, eval_batch))
+    if with_loader:
         return (spec, params, frozen, bert_cfg, device_batches,
                 BatchIterator(ds, eval_batch))
     return spec, params, frozen, bert_cfg, device_batches

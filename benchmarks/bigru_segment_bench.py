@@ -171,7 +171,11 @@ def main():
             # fresh inputs per round so the client memoizer cannot elide
             xs = {k: v + np.float32(1e-4) for k, v in xs.items()}
             arg = feed(name, xs)
-            jax.block_until_ready(arg)
+            for v in arg.values():  # HOST READBACK: the only sync that
+                #  provably waits through the axon tunnel (BENCH_NOTES
+                #  "Timing protocol"; block_until_ready does NOT) — the tm
+                #  cell's out-of-timer transpose must be DONE before t0
+                float(v[0, 0, 0])
             t0 = time.perf_counter()
             float(loop(params, arg))
             res[name].append((time.perf_counter() - t0) / a.iters * 1e3)

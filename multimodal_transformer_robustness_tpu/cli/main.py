@@ -310,6 +310,17 @@ def main(argv=None):
         # multi-process (pods): every process yields its contiguous slice of
         # each deterministic global batch; Trainer._shard_batch assembles
         # the global array (parallel.mesh.global_batch_from_local)
+        if args.compute_dtype == "bfloat16":
+            # host-pipeline analog of DeviceBatchIterator's store_dtype:
+            # float modality arrays stored (and uploaded) in the compute
+            # dtype — bit-identical (supernet_apply's boundary cast is the
+            # first op to touch them; tests/test_bf16_policy.py) at half
+            # the host->device bytes
+            import ml_dtypes
+
+            from ..data.loaders import cast_float_inputs
+            for _ds in (train_data, valid_data, test_data):
+                cast_float_inputs(_ds, ml_dtypes.bfloat16)
         pshard = ((jax.process_index(), jax.process_count())
                   if jax.process_count() > 1 else None)
         train_loader = BatchIterator(train_data, args.batch_size, shuffle=True,

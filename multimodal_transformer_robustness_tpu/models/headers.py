@@ -44,7 +44,8 @@ def _init_rnn_header(rng: jax.Array, input_dim: int, d: int) -> dict:
 
 
 def _rnn_header_tmajor(params: dict, x: jnp.ndarray,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       live_input: bool = False) -> jnp.ndarray:
     """Fused-kernel header path (TPU): the whole two-level pipeline runs
     T-major so each level's single packed projection einsum feeds the
     bidirectional recurrence kernel with ZERO layout fixup (no gate
@@ -53,14 +54,17 @@ def _rnn_header_tmajor(params: dict, x: jnp.ndarray,
     from ..ops.bigru_pallas import (bigru_finals_tmajor, bigru_level_tmajor)
 
     x_t = jnp.swapaxes(x, 0, 1)                       # [T, B, in] once
-    # need_dx=False: gru1's input is the header's own input — raw modality
-    # features or frozen-BERT outputs, with NOTHING trainable upstream in
-    # any production wiring (models/mult.py feeds headers straight from the
-    # data-boundary inputs) — so its input-gradient is structurally dead and
-    # the backward kernel skips the projection-sized dx dots + [T, B, in]
-    # writes (~5 ms/step at the B=4096 cached operating point)
+    # need_dx=False (live_input=False): gru1's input is raw modality data or
+    # frozen/stop_gradient'd BERT features, so its input-gradient is
+    # structurally dead and the backward kernel skips the projection-sized
+    # dx dots + [T, B, in] writes (~5 ms/step at the B=4096 cached operating
+    # point).  cnn_rnn headers pass live_input=True: their trainable Conv2d
+    # sits UPSTREAM of gru1 (header_apply feeds _cnn_apply output here) and
+    # needs the cotangent — eliding it there silently froze the conv weight
+    # on TPU (found by the r5 self code-review; tests/test_gru.py
+    # test_cnn_header_conv_grad_live_on_tmajor_path guards it now).
     hs1 = bigru_level_tmajor(params["gru1"], x_t, interpret,
-                             need_dx=False)           # [T, B, d]
+                             need_dx=live_input)      # [T, B, d]
     d = hs1.shape[-1]
     hs1 = masked_layer_norm(hs1, jnp.ones((d,), hs1.dtype),
                             jnp.zeros((d,), hs1.dtype))
@@ -68,13 +72,16 @@ def _rnn_header_tmajor(params: dict, x: jnp.ndarray,
     return bigru_finals_tmajor(hs2)[:, None, :]       # [B, 1, d]
 
 
-def _rnn_header_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """x: [B, T, input_dim] -> [B, 1, d]."""
+def _rnn_header_apply(params: dict, x: jnp.ndarray,
+                      live_input: bool = False) -> jnp.ndarray:
+    """x: [B, T, input_dim] -> [B, 1, d].  live_input: x carries gradients
+    from trainable upstream params (cnn_rnn's conv) — see _rnn_header_tmajor."""
     from ..ops.gru import resolved_impl
 
     impl = resolved_impl()
     if impl in ("pallas", "pallas_interpret"):
-        return _rnn_header_tmajor(params, x, impl == "pallas_interpret")
+        return _rnn_header_tmajor(params, x, impl == "pallas_interpret",
+                                  live_input=live_input)
     out1, _ = bigru_forward(params["gru1"], x)
     # non-affine LayerNorm over d (reference nn.LayerNorm(hidden_dim,
     # elementwise_affine=False))
@@ -208,7 +215,9 @@ def header_apply(kind: str, params: dict, x: jnp.ndarray,
     returns [B, 1, d]."""
     if kind == "cnn_rnn":
         feats = _cnn_apply(params["cnn"], x)
-        return _rnn_header_apply(params["rnn"], feats)
+        # live_input: the conv is trainable, so gru1's input cotangent must
+        # flow back through feats
+        return _rnn_header_apply(params["rnn"], feats, live_input=True)
     if kind == "bert_rnn":
         if jnp.issubdtype(x.dtype, jnp.floating):
             # precomputed frozen-BERT features [B, L, H] (train/features.py).

@@ -11,8 +11,20 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     first-compile costs minutes; with the cache, later processes reuse it.
 
     Called by every CLI entry point and bench.py.
+
+    CPU backends are EXCLUDED: XLA:CPU persists AOT executables keyed
+    without the host's CPU feature set, so a cache written on one machine
+    (or this image's build host) gets loaded on another and can SIGILL —
+    observed 2026-08-20 aborting a whole pytest run from inside a cache
+    write, and cpu_aot_loader logs feature-mismatch errors on every load
+    here.  CPU compiles of these programs are fast (~30-60 s cold, vs
+    minutes through the TPU tunnel), so the cache only ever paid off on
+    TPU anyway.
     """
     import jax
+
+    if jax.default_backend() == "cpu":
+        return
 
     cache_dir = cache_dir or os.environ.get(
         "MTRT_COMPILE_CACHE",

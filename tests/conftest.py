@@ -48,6 +48,11 @@ def _pin_global_jax_config():
                      ("jax_compilation_cache_dir", None),
                      ("jax_default_matmul_precision", "highest"),
                      ("jax_platforms", "cpu")):
-        if jax.config._read(key) != val:
+        # read back via the public attribute (jax.config exposes every flag
+        # as an attribute; the private _read used before could vanish in a
+        # jax upgrade) and only update on drift — update() itself fires
+        # change hooks (backend resets for jax_platforms) we don't want to
+        # trigger 239 times per run
+        if getattr(jax.config, key) != val:
             jax.config.update(key, val)
     yield

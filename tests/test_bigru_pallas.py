@@ -175,3 +175,36 @@ def test_bigru_need_dx_false_param_grads_unchanged():
     gx = jax.grad(lambda xx: jnp.sum(bigru_level_tmajor(
         params, jnp.swapaxes(xx, 0, 1), interpret=True, need_dx=False)))(x)
     assert float(jnp.abs(gx).max()) == 0.0
+
+
+def test_cnn_header_conv_grad_live_on_tmajor_path():
+    """cnn_rnn headers have the TRAINABLE Conv2d upstream of gru1, so the
+    fused T-major path must keep gru1's input cotangent (live_input=True).
+    The r5 need_dx=False elision originally applied to every header kind
+    and silently zeroed d(loss)/d(conv) on TPU only — CPU tests take the
+    lax.scan path, which is why this test pins the pallas_interpret impl
+    through the full header_apply dispatch."""
+    from multimodal_transformer_robustness_tpu.models.headers import (
+        _init_cnn, _init_rnn_header, header_apply)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    # the init_header("cnn_rnn") layout at orig=8, d=6 (headers.py:init_header)
+    params = {"cnn": _init_cnn(k1), "rnn": _init_rnn_header(k2, 4, 6)}
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, 1, 8, 8)), jnp.float32)
+
+    def loss(p):
+        return jnp.sum(header_apply("cnn_rnn", p, x) ** 2)
+
+    gru_mod.RECURRENCE_IMPL = "xla"
+    g_ref = jax.grad(loss)(params)
+    gru_mod.RECURRENCE_IMPL = "pallas_interpret"
+    g_fused = jax.grad(loss)(params)
+    # the conv gradient must be nonzero AND match the scan path
+    ref_cw = np.asarray(g_ref["cnn"]["w"])
+    assert np.abs(ref_cw).max() > 0
+    np.testing.assert_allclose(np.asarray(g_fused["cnn"]["w"]), ref_cw,
+                               rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)

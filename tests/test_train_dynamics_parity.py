@@ -271,13 +271,14 @@ def test_adam_single_step_parity():
 # Multi-epoch convergence parity (VERDICT r4 #2): the EPOCH-LEVEL machinery
 # — plateau scheduler on 1-val_acc, best-val checkpointing, the (M+1)
 # duplicate-validation quirk, lr-floor stop — cross-validated against the
-# reference over a real 12-epoch fit with per-batch config sampling active.
+# reference over a real 20-epoch fit with per-batch config sampling active.
 # The reference side runs the verbatim train.py:436-517 loop shape on the
 # reference's own torch modules + torch's own ReduceLROnPlateau; configs are
 # injected as a shared deterministic schedule (the two stacks cannot share
 # an RNG stream).  SGD + active clip keeps trajectories within f32 noise
 # (module docstring); the binary-acc metric is discrete, so curve, LR
-# trajectory and save-epochs must match EXACTLY.
+# trajectory and save-epochs must match EXACTLY.  (Runs N_EPOCHS=20 with
+# plateau patience WHEN=1 — the values below are the source of truth.)
 # --------------------------------------------------------------------------
 
 N_EPOCHS = 20
@@ -373,10 +374,10 @@ def _run_ref_fit(torch, ref, spec, cfg_schedule, train_b, valid_b, test_b):
 
 @pytest.mark.slow
 def test_multi_epoch_convergence_parity(monkeypatch):
-    """12 epochs of the FULL fit machinery on both stacks: identical val/test
-    curves (discrete metric => exact), identical post-epoch LR trajectories
-    (plateau scheduler engages: patience 2 forces decays), identical
-    best-val save epochs.  Recorded in PARITY.md."""
+    """N_EPOCHS (20) of the FULL fit machinery on both stacks: identical
+    val/test curves (discrete metric => exact), identical post-epoch LR
+    trajectories (plateau scheduler engages: patience WHEN=1 forces decays),
+    identical best-val save epochs.  Recorded in PARITY.md."""
     torch = pytest.importorskip("torch")
     global CLIP, LR
     old, CLIP, LR = (CLIP, LR), 0.05, FIT_LR
