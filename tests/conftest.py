@@ -55,4 +55,14 @@ def _pin_global_jax_config():
         # trigger 239 times per run
         if getattr(jax.config, key) != val:
             jax.config.update(key, val)
+    # pinning jax_compilation_cache_dir=None is NOT enough once a test has
+    # initialized the cache: jax's module-global _cache object persists and
+    # _get_cache() keeps returning it regardless of the config
+    # (compilation_cache.py::_initialize_cache runs at most once) — the
+    # 2026-08-20 suite abort inside put_executable_and_time happened in a
+    # test that never touched the cache.  Tear the object down too.
+    # (utils.enable_compilation_cache is additionally a no-op on CPU now,
+    # so in-process CLI tests shouldn't initialize it in the first place.)
+    from jax.experimental.compilation_cache import compilation_cache as _cc
+    _cc.reset_cache()
     yield
